@@ -1,0 +1,39 @@
+"""cheetah-tpu: a TPU-native differentiable beam-dynamics framework.
+
+A from-scratch JAX/XLA implementation with the capabilities of desy-ml/cheetah
+(the reference implementation cited throughout the docstrings), designed
+TPU-first: beams and lattice elements are pytrees, tracking compiles to fused
+batched matmuls under ``jax.jit``, gradients/vmap/sharding come from JAX
+transformations, and collective-effect kernels target XLA/Pallas.
+"""
+
+from cheetah_tpu.accelerator import (
+    CombinedCorrector,
+    CustomTransferMap,
+    Drift,
+    Element,
+    HorizontalCorrector,
+    Marker,
+    Quadrupole,
+    Segment,
+    VerticalCorrector,
+)
+from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam, Species
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Beam",
+    "CombinedCorrector",
+    "CustomTransferMap",
+    "Drift",
+    "Element",
+    "HorizontalCorrector",
+    "Marker",
+    "ParameterBeam",
+    "ParticleBeam",
+    "Quadrupole",
+    "Segment",
+    "Species",
+    "VerticalCorrector",
+]

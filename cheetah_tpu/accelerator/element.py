@@ -1,0 +1,285 @@
+"""Element base class (ref ``cheetah/accelerator/element.py:17-491``).
+
+Elements are mutable pytree dataclasses: physical parameters (length, k1,
+misalignment, ...) are array leaves that JAX traces, differentiates, vmaps and
+shards; configuration (name, tracking method, grid shapes) is static aux data.
+The reference's ``nn.Parameter`` vs. buffer distinction becomes "which leaves
+you pass to ``jax.grad``"; its per-element transfer-map cache
+(``cheetah/utils/cache.py``) is subsumed by ``jax.jit`` tracing.
+
+Design note: ``is_skippable`` must be decidable from *static* configuration
+only (tracking method, element class) so that :class:`Segment` can partition
+the lattice into fused linear runs at trace time. The reference's runtime
+checks on tensor values (e.g. ``cavity.py:86-92``) would break under tracing.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any
+
+import jax.numpy as jnp
+from jax import Array
+
+from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam, Species
+from cheetah_tpu.utils.names import UniqueNameGenerator
+from cheetah_tpu.utils.names import sanitize_name as _sanitize
+from cheetah_tpu.utils.pytree import tree_equal
+from cheetah_tpu.utils.warnings import DirtyNameWarning, PhysicsWarning
+
+generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
+
+
+class Element:
+    """Base class for elements of particle accelerators.
+
+    Subclasses are pytree dataclasses; this base provides shared tracking
+    logic and naming. Construct subclasses directly, not this class.
+    """
+
+    #: Tracking methods supported by the element type; the first is the default.
+    supported_tracking_methods: list[str] = ["linear"]
+
+    def _init_element(
+        self,
+        name: str | None,
+        sanitize_name: bool | None,
+        metadata: dict | None,
+        tracking_method: str | None = None,
+    ) -> None:
+        name = name if name is not None else generate_unique_name()
+        if not name.isidentifier():
+            if sanitize_name:
+                name = _sanitize(name)
+            elif sanitize_name is None:
+                warnings.warn(
+                    f"Dirty element name {name} is not a valid Python variable "
+                    "name. You will not be able to use the "
+                    "`segment.element_name` syntax to access this element. Set "
+                    "`sanitize_name=True` to change the name to a valid one, or "
+                    "`sanitize_name=False` to silence this warning.",
+                    category=DirtyNameWarning,
+                    stacklevel=3,
+                )
+        self.name = name
+        self.metadata = metadata if metadata is not None else {}
+        if tracking_method is not None:
+            if tracking_method not in self.supported_tracking_methods:
+                warnings.warn(
+                    f"Invalid tracking method '{tracking_method}' for element "
+                    f"{self.name} of type {self.__class__.__name__}, supported "
+                    f"methods are {self.supported_tracking_methods}. Using "
+                    f"'{self.supported_tracking_methods[0]}' instead.",
+                    PhysicsWarning,
+                    stacklevel=3,
+                )
+                tracking_method = self.supported_tracking_methods[0]
+            self.tracking_method = tracking_method
+        elif "tracking_method" in getattr(self, "__pytree_static_fields__", ()):
+            self.tracking_method = self.supported_tracking_methods[0]
+
+    # ------------------------------------------------------------------
+    # Transfer maps
+    # ------------------------------------------------------------------
+
+    def first_order_transfer_map(self, energy: Array, species: Species) -> Array:
+        r"""The element's first-order 7x7 transfer map for a beam with
+        reference ``energy`` and ``species`` (ref ``element.py:104-132``)."""
+        raise NotImplementedError
+
+    def second_order_transfer_map(self, energy: Array, species: Species) -> Array:
+        r"""The element's second-order 7x7x7 T-tensor ``T_ijk`` such that
+        ``out_i = sum_jk T_ijk in_j in_k`` (ref ``element.py:134-147``)."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # Tracking
+    # ------------------------------------------------------------------
+
+    def track(self, incoming: Beam) -> Beam:
+        """Track a beam through the element, returning the outgoing beam.
+
+        Pure function of ``(self, incoming)``; safe to call under ``jax.jit``
+        with the element (or a containing :class:`Segment`) as an argument.
+        """
+        method = getattr(self, "tracking_method", "linear")
+        if method == "linear":
+            return self._track_first_order(incoming)
+        elif method == "second_order":
+            return self._track_second_order(incoming)
+        elif method == "drift_kick_drift":
+            return self._track_drift_kick_drift(incoming)
+        else:
+            raise ValueError(
+                f"Invalid tracking method {method}. For element of type "
+                f"{self.__class__.__name__}, supported methods are "
+                f"{self.supported_tracking_methods}."
+            )
+
+    def _track_first_order(self, incoming: Beam) -> Beam:
+        """Linear tracking: moments congruence for ``ParameterBeam``, batched
+        ``(..., N, 7) @ (..., 7, 7)^T`` matmul for ``ParticleBeam``
+        (ref ``element.py:159-193``)."""
+        if isinstance(incoming, ParameterBeam):
+            tm = self.first_order_transfer_map(incoming.energy, incoming.species)
+            new_mu = jnp.squeeze(tm @ incoming.mu[..., None], -1)
+            new_cov = tm @ incoming.cov @ jnp.swapaxes(tm, -1, -2)
+            return ParameterBeam(
+                new_mu,
+                new_cov,
+                incoming.energy,
+                total_charge=incoming.total_charge,
+                s=incoming.s + self.length,
+                species=incoming.species,
+            )
+        elif isinstance(incoming, ParticleBeam):
+            tm = self.first_order_transfer_map(incoming.energy, incoming.species)
+            new_particles = incoming.particles @ jnp.swapaxes(tm, -1, -2)
+            return ParticleBeam(
+                new_particles,
+                incoming.energy,
+                particle_charges=incoming.particle_charges,
+                survival_probabilities=incoming.survival_probabilities,
+                s=incoming.s + self.length,
+                species=incoming.species,
+            )
+        else:
+            raise TypeError(f"Parameter incoming is of invalid type {type(incoming)}")
+
+    def _track_second_order(self, incoming: Beam) -> Beam:
+        """Second-order tracking via ``out_i = sum_jk T_ijk in_j in_k``
+        (ref ``element.py:195-225``). ``ParticleBeam`` only."""
+        assert isinstance(
+            incoming, ParticleBeam
+        ), "Second-order tracking is currently only supported for `ParticleBeam`."
+
+        T = self.second_order_transfer_map(incoming.energy, incoming.species)
+        # (..., 1, 7, 7, 7) contracted with particles (..., N, 7) twice.
+        # Contract in two matmul-shaped steps so XLA maps it onto the MXU:
+        # tp_jk = T_ijk p_k, then out_i = tp_ij p_j.
+        p = incoming.particles
+        tp = jnp.einsum("...ijk,...nk->...nij", T, p)
+        outgoing_particles = jnp.einsum("...nij,...nj->...ni", tp, p)
+
+        return ParticleBeam(
+            particles=outgoing_particles,
+            energy=incoming.energy,
+            particle_charges=incoming.particle_charges,
+            survival_probabilities=incoming.survival_probabilities,
+            s=incoming.s + self.length,
+            species=incoming.species,
+        )
+
+    def _track_drift_kick_drift(self, incoming: Beam) -> Beam:
+        raise NotImplementedError(
+            f"{self.__class__.__name__} does not support drift-kick-drift tracking."
+        )
+
+    def __call__(self, incoming: Beam) -> Beam:
+        return self.track(incoming)
+
+    # ------------------------------------------------------------------
+    # Structure
+    # ------------------------------------------------------------------
+
+    # NOTE: Elements with a physical length declare ``length`` as a pytree
+    # leaf field; zero-length elements define a ``length`` property returning
+    # a scalar zero (see :class:`ZeroLengthMixin`).
+
+    @property
+    def is_skippable(self) -> bool:
+        """Whether the element's map can be fused with its neighbours'. Must
+        be a function of static configuration only (see module docstring)."""
+        raise NotImplementedError
+
+    @property
+    def defining_features(self) -> list[str]:
+        """Features that define the element; used for equality, cloning and
+        serialisation (ref ``element.py:299-312``)."""
+        static = ["name"]
+        if len(self.supported_tracking_methods) > 1:
+            static.append("tracking_method")
+        return static
+
+    @property
+    def defining_tensors(self) -> list[str]:
+        """Subset of defining features that are arrays."""
+        return [
+            feature
+            for feature in self.defining_features
+            if isinstance(getattr(self, feature), (jnp.ndarray, float, int))
+            and not isinstance(getattr(self, feature), bool)
+        ]
+
+    def clone(self) -> "Element":
+        """Copy of the element (a new pytree object with the same leaves)."""
+        import copy
+
+        kwargs = {}
+        for feature in self.defining_features:
+            value = getattr(self, feature)
+            kwargs[feature] = (
+                copy.deepcopy(value) if isinstance(value, (dict, list)) else value
+            )
+        return self.__class__(
+            **kwargs, metadata=copy.deepcopy(self.metadata), sanitize_name=False
+        )
+
+    def split(self, resolution: Array) -> list["Element"]:
+        """Split the element into slices no longer than ``resolution`` m.
+        Non-splittable elements return ``[self]`` (ref ``element.py:338-347``)."""
+        return [self]
+
+    def merge(self, other: "Element") -> "Element | None":
+        """Attempt to merge with another element of the same type; ``None`` if
+        unsupported (ref ``element.py:349-358``)."""
+        return None
+
+    def sanitize_name(self) -> None:
+        """Make the element's name a valid Python identifier."""
+        self.name = _sanitize(self.name)
+
+    def __eq__(self, other: object) -> bool:
+        if type(self) is not type(other):
+            return False
+        for feature in self.defining_features:
+            a, b = getattr(self, feature), getattr(other, feature)
+            if feature == "name":
+                continue
+            if isinstance(a, jnp.ndarray) or isinstance(b, jnp.ndarray):
+                a, b = jnp.asarray(a), jnp.asarray(b)
+                if a.shape != b.shape or bool(jnp.any(a != b)):
+                    return False
+            elif isinstance(a, Element) or (
+                isinstance(a, (list, tuple))
+                and any(isinstance(item, Element) for item in a)
+            ):
+                if not tree_equal(a, b):
+                    return False
+            elif a != b:
+                return False
+        return True
+
+    __hash__ = None
+
+    def __repr__(self) -> str:
+        feature_list = [
+            f"{feature}={getattr(self, feature)!r}"
+            for feature in self.defining_features
+        ]
+        return f"{self.__class__.__name__}({', '.join(feature_list)})"
+
+
+class ZeroLengthMixin:
+    """Mixin providing a constant zero ``length`` for thin elements."""
+
+    @property
+    def length(self) -> Array:
+        return jnp.zeros(())
+
+
+def validate_understood_kwargs(kwargs: dict[str, Any], understood: list[str]) -> None:
+    """Raise on constructor kwargs that are not understood."""
+    for key in kwargs:
+        if key not in understood:
+            raise TypeError(f"Unexpected keyword argument {key!r}")

@@ -1,0 +1,203 @@
+"""Bmad-X coordinate system and nonlinear tracking kernels.
+
+TPU-native counterpart of ``cheetah/utils/bmadx.py:7-318``. Conventions:
+reference quantities (``ref_energy``, ``p0c``, ``mc2``) have the beam's vector
+shape ``(...)``; per-particle quantities have shape ``(..., num_particles)``;
+``[..., None]`` aligns the two.
+
+Negative focusing strengths route through the even extensions
+:func:`~cheetah_tpu.utils.maths.cos_sqrt` / :func:`~cheetah_tpu.utils.maths.sinc_sqrt`
+instead of complex arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+from cheetah_tpu.constants import speed_of_light
+from cheetah_tpu.utils.maths import cos_sqrt, sinc_sqrt
+
+
+def cheetah_to_bmad_z_pz(
+    tau: Array, delta: Array, ref_energy: Array, mc2: Array
+) -> tuple[Array, Array, Array]:
+    """Cheetah longitudinal coordinates ``(tau, delta)`` to Bmad ``(z, pz)``
+    plus the reference momentum ``p0c`` (ref ``bmadx.py:7-29``)."""
+    p0c = jnp.sqrt(jnp.square(ref_energy) - jnp.square(mc2))
+    energy = ref_energy[..., None] + delta * p0c[..., None]
+    p = jnp.sqrt(jnp.square(energy) - jnp.square(mc2))
+    beta = p / energy
+    z = -beta * tau
+    pz = (p - p0c[..., None]) / p0c[..., None]
+    return z, pz, p0c
+
+
+def bmad_to_cheetah_z_pz(
+    z: Array, pz: Array, p0c: Array, mc2: Array
+) -> tuple[Array, Array, Array]:
+    """Bmad longitudinal coordinates ``(z, pz)`` to Cheetah ``(tau, delta)``
+    plus the reference energy (ref ``bmadx.py:32-54``)."""
+    ref_energy = jnp.sqrt(jnp.square(p0c) + jnp.square(mc2))
+    p = (1.0 + pz) * p0c[..., None]
+    energy = jnp.sqrt(jnp.square(p) + jnp.square(mc2))
+    beta = p / energy
+    tau = -z / beta
+    delta = (energy - ref_energy[..., None]) / p0c[..., None]
+    return tau, delta, ref_energy
+
+
+def offset_particle_set(
+    x_offset: Array,
+    y_offset: Array,
+    tilt: Array,
+    x_lab: Array,
+    px_lab: Array,
+    y_lab: Array,
+    py_lab: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """Lab frame to (tilted, offset) element frame (ref ``bmadx.py:114-144``)."""
+    s = jnp.sin(tilt)[..., None]
+    c = jnp.cos(tilt)[..., None]
+    x_int = x_lab - jnp.asarray(x_offset)[..., None]
+    y_int = y_lab - jnp.asarray(y_offset)[..., None]
+    x_ele = x_int * c + y_int * s
+    y_ele = -x_int * s + y_int * c
+    px_ele = px_lab * c + py_lab * s
+    py_ele = -px_lab * s + py_lab * c
+    return x_ele, px_ele, y_ele, py_ele
+
+
+def offset_particle_unset(
+    x_offset: Array,
+    y_offset: Array,
+    tilt: Array,
+    x_ele: Array,
+    px_ele: Array,
+    y_ele: Array,
+    py_ele: Array,
+) -> tuple[Array, Array, Array, Array]:
+    """Element frame back to lab frame (ref ``bmadx.py:147-177``)."""
+    s = jnp.sin(tilt)[..., None]
+    c = jnp.cos(tilt)[..., None]
+    x_int = x_ele * c - y_ele * s
+    y_int = x_ele * s + y_ele * c
+    x_lab = x_int + jnp.asarray(x_offset)[..., None]
+    y_lab = y_int + jnp.asarray(y_offset)[..., None]
+    px_lab = px_ele * c - py_ele * s
+    py_lab = px_ele * s + py_ele * c
+    return x_lab, px_lab, y_lab, py_lab
+
+
+def low_energy_z_correction(pz: Array, p0c: Array, mc2: Array, ds: Array) -> Array:
+    """Correction of the z-coordinate change for particle speed < c
+    (ref ``bmadx.py:180-215``). Returns
+    ``dz = (ds - d_particle) + ds (beta - beta_ref) / beta_ref``."""
+    p0c_ = p0c[..., None]
+    beta = (1 + pz) * p0c_ / jnp.sqrt(jnp.square((1 + pz) * p0c_) + jnp.square(mc2))
+    beta0 = p0c / jnp.sqrt(jnp.square(p0c) + jnp.square(mc2))
+    e_tot = jnp.sqrt(jnp.square(p0c) + jnp.square(mc2))
+
+    beta0_ = beta0[..., None]
+    e_tot_ = e_tot[..., None]
+    beta02 = jnp.square(beta0_)
+    mc2_over_e2 = jnp.square(mc2 / e_tot_)
+
+    evaluation = mc2 * jnp.square(beta0_ * pz)
+    taylor = (
+        jnp.asarray(ds)[..., None]
+        * pz
+        * (
+            1
+            - 3 * (pz * beta02) / 2
+            + jnp.square(pz) * beta02 * (2 * beta02 - mc2_over_e2 / 2)
+        )
+        * mc2_over_e2
+    )
+    exact = jnp.asarray(ds)[..., None] * (beta - beta0_) / beta0_
+    return jnp.where(evaluation < 3e-7 * e_tot_, taylor, exact)
+
+
+def calculate_quadrupole_coefficients(
+    k1: Array, length: Array, rel_p: Array
+) -> tuple[list[list[Array]], list[Array]]:
+    """2x2 quadrupole transfer-matrix entries and z-change coefficients for one
+    drift-kick-drift step (ref ``bmadx.py:218-253``).
+
+    :param k1: Quadrupole strength (``k1 > 0`` means defocusing), per particle.
+    :param length: Step length.
+    :param rel_p: Relative momentum ``P/P0`` per particle.
+    :return: ``[[a11, a12], [a21, a22]]`` and ``[c1, c2, c3]`` with
+        ``z += c1 x0^2 + c2 x0 px0 + c3 px0^2``.
+    """
+    length_ = jnp.asarray(length)[..., None]
+    arg = -k1 * jnp.square(length_)
+    cx = cos_sqrt(arg)
+    sx = sinc_sqrt(arg) * length_
+
+    a11 = cx
+    a12 = sx / rel_p
+    a21 = k1 * sx * rel_p
+    a22 = cx
+
+    c1 = k1 * (-cx * sx + length_) / 4
+    c2 = -k1 * jnp.square(sx) / (2 * rel_p)
+    c3 = -(cx * sx + length_) / (4 * jnp.square(rel_p))
+
+    return [[a11, a12], [a21, a22]], [c1, c2, c3]
+
+
+def sqrt_one(x: Array) -> Array:
+    """``sqrt(1 + x) - 1`` to machine precision (ref ``bmadx.py:256-261``)."""
+    sq = jnp.sqrt(1 + x)
+    return x / (sq + 1)
+
+
+def track_a_drift(
+    length: Array,
+    x_in: Array,
+    px_in: Array,
+    y_in: Array,
+    py_in: Array,
+    z_in: Array,
+    pz_in: Array,
+    p0c: Array,
+    mc2: Array,
+) -> tuple[Array, Array, Array]:
+    """Exact (nonlinear) drift tracking (ref ``bmadx.py:264-296``)."""
+    P = 1.0 + pz_in
+    Px = px_in / P
+    Py = py_in / P
+    Pxy2 = jnp.square(Px) + jnp.square(Py)
+    Pl = jnp.sqrt(1.0 - Pxy2)
+
+    length_ = jnp.asarray(length)[..., None]
+    dz = length_ * (
+        sqrt_one(
+            (jnp.square(mc2) * (2 * pz_in + jnp.square(pz_in)))
+            / (jnp.square(p0c[..., None] * P) + jnp.square(mc2))
+        )
+        + sqrt_one(-Pxy2) / Pl
+    )
+
+    x_out = x_in + length_ * Px / Pl
+    y_out = y_in + length_ * Py / Pl
+    z_out = z_in + dz
+    return x_out, y_out, z_out
+
+
+def particle_rf_time(z: Array, pz: Array, p0c: Array, mc2: Array) -> Array:
+    """RF arrival time of each particle (ref ``bmadx.py:299-308``)."""
+    p0c_ = p0c[..., None]
+    beta = (1 + pz) * p0c_ / jnp.sqrt(jnp.square((1 + pz) * p0c_) + jnp.square(mc2))
+    return -z / (beta * speed_of_light)
+
+
+def sinc(x: Array) -> Array:
+    """``sin(x) / x`` with value 1 at 0."""
+    return jnp.sinc(x / jnp.pi)
+
+
+def cosc(x: Array) -> Array:
+    """``(cos(x) - 1) / x^2 = -0.5 sinc(x/2)^2``."""
+    return -0.5 * jnp.square(sinc(x / 2))

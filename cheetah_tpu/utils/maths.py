@@ -1,0 +1,345 @@
+"""Singularity-free compound expressions with custom derivatives.
+
+TPU-native counterpart of the reference's custom autograd functions
+(``cheetah/utils/autograd.py:4-74``): each compound expression that appears in
+transfer-map physics has a removable singularity whose value *and* derivative
+are replaced by their analytic limits, implemented with ``jax.custom_jvp`` and
+``jnp.where`` guards (safe denominators keep NaNs out of both branches).
+
+Unlike the reference, which routes ``cos(sqrt(x))``-style terms through complex
+arithmetic for negative ``x`` (``autograd.py:127``), we use the real-valued
+even/odd extensions ``cos``/``cosh`` and ``sinc``/``sinch`` — branch-free
+elementwise VPU code with no complex support required.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def _safe(x: Array, where_bad: Array) -> Array:
+    """Replace entries where ``where_bad`` with 1 so they can be divided by."""
+    return jnp.where(where_bad, jnp.ones_like(x), x)
+
+
+@jax.custom_jvp
+def cos_sqrt(x: Array) -> Array:
+    r"""``cos(sqrt(x))`` extended evenly to negative ``x`` via ``cosh(sqrt(-x))``.
+
+    Equivalent of ``torch.complex(x, 0).sqrt().cos().real`` in the reference
+    (``cheetah/track_methods.py:44-47``) without complex arithmetic.
+    """
+    xp = jnp.sqrt(jnp.clip(x, min=0.0))
+    xn = jnp.sqrt(jnp.clip(-x, min=0.0))
+    return jnp.where(x >= 0, jnp.cos(xp), jnp.cosh(xn))
+
+
+@jax.custom_jvp
+def sinc_sqrt(x: Array) -> Array:
+    r"""``si(sqrt(x)) = sin(sqrt(x))/sqrt(x)``, evenly extended; 1 at ``x = 0``.
+
+    Equivalent of ``(sqrt(complex(x))/pi).sinc().real`` in the reference
+    (``cheetah/track_methods.py:48-49``).
+    """
+    xp = jnp.sqrt(jnp.clip(x, min=0.0))
+    xn = jnp.sqrt(jnp.clip(-x, min=0.0))
+    pos = jnp.sin(xp) / _safe(xp, xp == 0)
+    neg = jnp.sinh(xn) / _safe(xn, xn == 0)
+    return jnp.where(x == 0, jnp.ones_like(x), jnp.where(x >= 0, pos, neg))
+
+
+def _dsinc_sqrt(x: Array) -> Array:
+    """d/dx si(sqrt(x)) = (cos(sqrt(x)) - si(sqrt(x))) / (2x); limit -1/6."""
+    return jnp.where(
+        x == 0,
+        jnp.full_like(x, -1.0 / 6.0),
+        (cos_sqrt(x) - sinc_sqrt(x)) / (2.0 * _safe(x, x == 0)),
+    )
+
+
+@cos_sqrt.defjvp
+def _cos_sqrt_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    # d/dx cos(sqrt(x)) = -si(sqrt(x)) / 2 (entire function, no singularity).
+    return cos_sqrt(x), -0.5 * sinc_sqrt(x) * dx
+
+
+@sinc_sqrt.defjvp
+def _sinc_sqrt_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    return sinc_sqrt(x), _dsinc_sqrt(x) * dx
+
+
+@jax.custom_jvp
+def log1pdiv(x: Array) -> Array:
+    """``log(1 + x) / x`` with its singularity at 0 removed (ref ``autograd.py:77``)."""
+    return jnp.where(x == 0, jnp.ones_like(x), jnp.log1p(x) / _safe(x, x == 0))
+
+
+@log1pdiv.defjvp
+def _log1pdiv_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    fx = log1pdiv(x)
+    grad = jnp.where(
+        x == 0,
+        jnp.full_like(x, -0.5),
+        (1.0 / (1.0 + x) - fx) / _safe(x, x == 0),
+    )
+    return fx, grad * dx
+
+
+@jax.custom_jvp
+def si1mdiv(x: Array) -> Array:
+    """``(1 - si(sqrt(x))) / x`` with limit 1/6 at 0 (ref ``autograd.py:108``)."""
+    return jnp.where(
+        x == 0,
+        jnp.full_like(x, 1.0 / 6.0),
+        (1.0 - sinc_sqrt(x)) / _safe(x, x == 0),
+    )
+
+
+@si1mdiv.defjvp
+def _si1mdiv_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    fx = si1mdiv(x)
+    # f'(x) = (-si'(sqrt(x)) - f) / x with -si' = (si - cos)/(2x); limit -1/120.
+    sx = (sinc_sqrt(x) - cos_sqrt(x)) / (2.0 * _safe(x, x == 0))
+    grad = jnp.where(
+        x == 0, jnp.full_like(x, -1.0 / 120.0), (sx - fx) / _safe(x, x == 0)
+    )
+    return fx, grad * dx
+
+
+@jax.custom_jvp
+def sicos1mdiv(x: Array) -> Array:
+    """``(1 - si(sqrt(x)) cos(sqrt(x))) / x`` with limit 1/6 (ref ``autograd.py:149``)."""
+    return jnp.where(
+        x == 0,
+        jnp.full_like(x, 1.0 / 6.0),
+        (1.0 - sinc_sqrt(x) * cos_sqrt(x)) / _safe(x, x == 0),
+    )
+
+
+@sicos1mdiv.defjvp
+def _sicos1mdiv_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    cx = cos_sqrt(x)
+    sx = sinc_sqrt(x)
+    x2 = _safe(x * x, x == 0)
+    grad = jnp.where(
+        x == 0,
+        jnp.full_like(x, -2.0 / 15.0),
+        (sx * (x * sx + 2.0 * cx) - 2.0 - cx * cx + sx * cx) / (2.0 * x2),
+    )
+    return sicos1mdiv(x), grad * dx
+
+
+@jax.custom_jvp
+def sipsicos3mdiv(x: Array) -> Array:
+    """``(3 - 4 si(sqrt(x)) + si(sqrt(x)) cos(sqrt(x))) / (2x)``, limit 0
+    (ref ``autograd.py:209``)."""
+    return jnp.where(
+        x == 0,
+        jnp.zeros_like(x),
+        (3.0 - 4.0 * sinc_sqrt(x) + sinc_sqrt(x) * cos_sqrt(x))
+        / (2.0 * _safe(x, x == 0)),
+    )
+
+
+@sipsicos3mdiv.defjvp
+def _sipsicos3mdiv_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    cx = cos_sqrt(x)
+    sx = sinc_sqrt(x)
+    x2 = _safe(x * x, x == 0)
+    grad = jnp.where(
+        x == 0,
+        jnp.full_like(x, 0.05),
+        (
+            -sx * (x * sx + 2.0 * cx - 8.0)
+            - 6.0
+            + 4.0 * sx
+            + cx * cx
+            - (4.0 + sx) * cx
+        )
+        / (4.0 * x2),
+    )
+    return sipsicos3mdiv(x), grad * dx
+
+
+@jax.custom_jvp
+def cossqrtmcosdivdiff(a: Array, b: Array) -> Array:
+    """``(cos(sqrt(b)) - cos(sqrt(a))) / (a - b)``, limit ``si(sqrt(a))/2`` at
+    ``a == b`` (ref ``autograd.py:361``)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    diff = _safe(a - b, a == b)
+    return jnp.where(a == b, 0.5 * sinc_sqrt(a), (cos_sqrt(b) - cos_sqrt(a)) / diff)
+
+
+@cossqrtmcosdivdiff.defjvp
+def _cossqrtmcosdivdiff_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    a, b = jnp.broadcast_arrays(a, b)
+    da, db = jnp.broadcast_arrays(
+        jnp.broadcast_to(da, a.shape), jnp.broadcast_to(db, b.shape)
+    )
+    sa = sinc_sqrt(a)
+    sb = sinc_sqrt(b)
+    ca = cos_sqrt(a)
+    cb = cos_sqrt(b)
+    ab = a - b
+    cbca = cb - ca
+    denom = _safe(ab * ab, a == b)
+    limit = jnp.where(
+        a == 0,
+        jnp.full_like(a, -1.0 / 24.0),
+        (ca - sa) / (8.0 * _safe(a, a == 0)),
+    )
+    grad_a = jnp.where(a == b, limit, (0.5 * sa * ab - cbca) / denom)
+    grad_b = jnp.where(a == b, limit, -(0.5 * sb * ab - cbca) / denom)
+    return cossqrtmcosdivdiff(a, b), grad_a * da + grad_b * db
+
+
+@jax.custom_jvp
+def simsidivdiff(a: Array, b: Array) -> Array:
+    """``(si(sqrt(a)) - si(sqrt(b))) / (b - a)`` with nested limits at ``a == b``
+    and ``b == 0`` (ref ``autograd.py:433``)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    diff = _safe(b - a, a == b)
+    aeqb_limit = jnp.where(
+        b == 0,
+        jnp.full_like(b, 1.0 / 6.0),
+        0.5 * (sinc_sqrt(b) - cos_sqrt(b)) / _safe(b, b == 0),
+    )
+    return jnp.where(a == b, aeqb_limit, (sinc_sqrt(a) - sinc_sqrt(b)) / diff)
+
+
+@simsidivdiff.defjvp
+def _simsidivdiff_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    a, b = jnp.broadcast_arrays(a, b)
+    da = jnp.broadcast_to(da, a.shape)
+    db = jnp.broadcast_to(db, b.shape)
+    sa = sinc_sqrt(a)
+    sb = sinc_sqrt(b)
+    ca = cos_sqrt(a)
+    cb = cos_sqrt(b)
+    ba = _safe(b - a, a == b)
+    a_safe = _safe(a, a == 0)
+    b_safe = _safe(b, b == 0)
+
+    a0_b0_limit = jnp.full_like(a, -1.0 / 120.0)
+    aeqb_limit = jnp.where(
+        b == 0, a0_b0_limit, (3.0 * cb + (b - 3.0) * sb) / (8.0 * b_safe * b_safe)
+    )
+    aneqb_a0_limit = (1.0 - b / 6.0 - sb) / (b_safe * b_safe)
+    aneqb_b0_limit = (1.0 - a / 6.0 - sa) / (a_safe * a_safe)
+
+    grad_a = jnp.where(
+        (a != b) & (a != 0),
+        (ca - sa) / (2.0 * a_safe * ba) + (sa - sb) / (ba * ba),
+        jnp.where(a != b, aneqb_a0_limit, aeqb_limit),
+    )
+    grad_b = jnp.where(
+        (a != b) & (b != 0),
+        -(cb - sb) / (2.0 * b_safe * ba) + (sb - sa) / (ba * ba),
+        jnp.where(a != b, aneqb_b0_limit, aeqb_limit),
+    )
+    return simsidivdiff(a, b), grad_a * da + grad_b * db
+
+
+@jax.custom_jvp
+def si2msi2divdiff(a: Array, b: Array) -> Array:
+    """``(si^2(sqrt(b)) - si^2(sqrt(a))) / (a - b)`` with nested limits
+    (ref ``autograd.py:546``)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    diff = _safe(a - b, a == b)
+    sb = sinc_sqrt(b)
+    cb = cos_sqrt(b)
+    aeqb_limit = jnp.where(
+        b == 0,
+        jnp.full_like(b, 1.0 / 3.0),
+        (1.0 - cb * cb - b * sb * cb) / _safe(b * b, b == 0),
+    )
+    sa = sinc_sqrt(a)
+    return jnp.where(a == b, aeqb_limit, (sb * sb - sa * sa) / diff)
+
+
+@si2msi2divdiff.defjvp
+def _si2msi2divdiff_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    a, b = jnp.broadcast_arrays(a, b)
+    da = jnp.broadcast_to(da, a.shape)
+    db = jnp.broadcast_to(db, b.shape)
+    sa = sinc_sqrt(a)
+    sb = sinc_sqrt(b)
+    ca = cos_sqrt(a)
+    cb = cos_sqrt(b)
+    ab = _safe(a - b, a == b)
+    a_safe = _safe(a, a == 0)
+    b_safe = _safe(b, b == 0)
+
+    a0_limit = (b - b * b / 3.0 + cb * cb - 1.0) / (b_safe**3)
+    b0_limit = (a - a * a / 3.0 + ca * ca - 1.0) / (a_safe**3)
+    aeqbeq0_limit = jnp.full_like(a, -2.0 / 45.0)
+    aeqb_limit = jnp.where(
+        b == 0,
+        aeqbeq0_limit,
+        (5.0 * b * sb * cb - (b - 2.0) * (2.0 * cb * cb - 1.0) - 2.0)
+        / (4.0 * b_safe**3),
+    )
+    grad_a = jnp.where(
+        (a != b) & (a != 0),
+        (-ab * sa * (ca - sa) / a_safe + sa * sa - sb * sb) / (ab * ab),
+        jnp.where(a == b, aeqb_limit, a0_limit),
+    )
+    grad_b = jnp.where(
+        (a != b) & (b != 0),
+        (ab * sb * (cb - sb) / b_safe + sb * sb - sa * sa) / (ab * ab),
+        jnp.where(a == b, aeqb_limit, b0_limit),
+    )
+    return si2msi2divdiff(a, b), grad_a * da + grad_b * db
+
+
+@jax.custom_jvp
+def sqrta2minusbdiva(a: Array, b: Array) -> Array:
+    """``(sqrt(a^2 + b) - a) / b`` with limit ``1 / (2a)`` at ``b == 0``
+    (ref ``autograd.py:652``)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    b_safe = _safe(b, b == 0)
+    return jnp.where(
+        b == 0,
+        1.0 / (2.0 * a),
+        (jnp.sqrt(a * a + b) - a) / b_safe,
+    )
+
+
+@sqrta2minusbdiva.defjvp
+def _sqrta2minusbdiva_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    a, b = jnp.broadcast_arrays(a, b)
+    da = jnp.broadcast_to(da, a.shape)
+    db = jnp.broadcast_to(db, b.shape)
+    b_safe = _safe(b, b == 0)
+    root = jnp.sqrt(a * a + b)
+    grad_a = jnp.where(
+        b == 0, -1.0 / (2.0 * a * a), (a / root - 1.0) / b_safe
+    )
+    grad_b = jnp.where(
+        b == 0,
+        -1.0 / (8.0 * a**3),
+        ((-2.0 * a * a - b) / root + 2.0 * a) / (2.0 * b_safe * b_safe),
+    )
+    return sqrta2minusbdiva(a, b), grad_a * da + grad_b * db

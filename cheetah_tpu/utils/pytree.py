@@ -1,0 +1,153 @@
+"""Lightweight pytree dataclass machinery.
+
+The reference framework (desy-ml/cheetah) models beams and lattice elements as
+``torch.nn.Module`` objects with registered buffers/parameters
+(``cheetah/accelerator/element.py:17``, ``cheetah/particles/beam.py:9``). The
+TPU-native equivalent is a *pytree dataclass*: array-valued fields are pytree
+leaves (traced, differentiated, vmapped and sharded by JAX), while
+configuration fields (names, tracking methods, grid shapes) are static aux
+data that participate in ``jax.jit``'s cache key.
+
+Compared to ``flax.struct.dataclass`` this gives us:
+
+* mutable instances (reference-style ``quad.k1 = ...`` ergonomics outside of
+  traced code),
+* inheritance-friendly registration for the big ``Element`` class hierarchy,
+* control over unflattening so tracers round-trip without re-validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, TypeVar
+
+import jax
+
+T = TypeVar("T")
+
+_STATIC_MARKER = "cheetah_tpu_static"
+
+
+def axis_field(default: Any = dataclasses.MISSING, **kwargs) -> dataclasses.Field:
+    """A dataclass field that is a pytree leaf (an array / traced value)."""
+    if default is not dataclasses.MISSING:
+        kwargs.setdefault("default", default)
+    metadata = dict(kwargs.pop("metadata", {}))
+    metadata[_STATIC_MARKER] = False
+    return dataclasses.field(metadata=metadata, **kwargs)
+
+
+def static_field(default: Any = dataclasses.MISSING, **kwargs) -> dataclasses.Field:
+    """A dataclass field that is static aux data (part of the jit cache key)."""
+    if default is not dataclasses.MISSING:
+        kwargs.setdefault("default", default)
+    metadata = dict(kwargs.pop("metadata", {}))
+    metadata[_STATIC_MARKER] = True
+    return dataclasses.field(metadata=metadata, **kwargs)
+
+
+def _partition_fields(cls) -> tuple[list[str], list[str]]:
+    """Names of (leaf fields, static fields) in declaration order."""
+    leaf_names, static_names = [], []
+    for f in dataclasses.fields(cls):
+        if f.metadata.get(_STATIC_MARKER, False):
+            static_names.append(f.name)
+        else:
+            leaf_names.append(f.name)
+    return leaf_names, static_names
+
+
+class _Static:
+    """Hashable, equality-comparable wrapper around the static field values."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, values: tuple):
+        self.values = values
+
+    def __hash__(self) -> int:
+        try:
+            return hash(self.values)
+        except TypeError:
+            # Unhashable static values (e.g. metadata dicts) hash by repr.
+            return hash(repr(self.values))
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, _Static) and self.values == other.values
+
+
+def pytree_dataclass(cls: type[T] | None = None, *, init: bool = True) -> type[T]:
+    """Decorator registering a (mutable) dataclass as a JAX pytree node.
+
+    Fields default to pytree leaves; mark configuration with ``static_field``.
+    Unflattening bypasses ``__init__``/``__post_init__`` so traced values
+    round-trip untouched.
+    """
+
+    def wrap(cls: type[T]) -> type[T]:
+        cls = dataclasses.dataclass(cls, init=init, repr=False, eq=False)
+        leaf_names, static_names = _partition_fields(cls)
+
+        def flatten_with_keys(obj):
+            leaves = tuple(
+                (jax.tree_util.GetAttrKey(name), getattr(obj, name))
+                for name in leaf_names
+            )
+            static = _Static(tuple(getattr(obj, name) for name in static_names))
+            return leaves, static
+
+        def flatten(obj):
+            leaves = tuple(getattr(obj, name) for name in leaf_names)
+            static = _Static(tuple(getattr(obj, name) for name in static_names))
+            return leaves, static
+
+        def unflatten(static: _Static, leaves) -> T:
+            obj = object.__new__(cls)
+            for name, value in zip(leaf_names, leaves):
+                object.__setattr__(obj, name, value)
+            for name, value in zip(static_names, static.values):
+                object.__setattr__(obj, name, value)
+            return obj
+
+        jax.tree_util.register_pytree_with_keys(
+            cls, flatten_with_keys, unflatten, flatten_func=flatten
+        )
+
+        cls.__pytree_leaf_fields__ = tuple(leaf_names)
+        cls.__pytree_static_fields__ = tuple(static_names)
+
+        if "__repr__" not in cls.__dict__:
+            cls.__repr__ = _pytree_repr
+
+        return cls
+
+    return wrap if cls is None else wrap(cls)
+
+
+def _pytree_repr(self) -> str:
+    parts = [
+        f"{f.name}={getattr(self, f.name)!r}"
+        for f in dataclasses.fields(self)
+        if f.repr
+    ]
+    return f"{type(self).__name__}({', '.join(parts)})"
+
+
+def tree_equal(a: Any, b: Any) -> bool:
+    """Structural + numerical equality of two pytrees (used for ``==``)."""
+    import jax.numpy as jnp
+
+    if jax.tree_util.tree_structure(a) != jax.tree_util.tree_structure(b):
+        return False
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    for la, lb in zip(leaves_a, leaves_b):
+        la, lb = jnp.asarray(la), jnp.asarray(lb)
+        if la.shape != lb.shape or bool(jnp.any(la != lb)):
+            return False
+    return True
+
+
+def replace(obj: T, **changes: Any) -> T:
+    """Functional update of a pytree dataclass (like ``dataclasses.replace``)."""
+    return dataclasses.replace(obj, **changes)

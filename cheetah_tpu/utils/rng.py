@@ -1,0 +1,32 @@
+"""PRNG key management.
+
+JAX requires explicit PRNG keys. All stochastic constructors in this framework
+accept a ``key`` argument; for reference-style ergonomics (global torch seed,
+``cheetah tests/conftest.py:155-211``) a module-level key sequence provides
+keys when none is passed. Call :func:`seed` for reproducibility.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax import Array
+
+_state: dict = {"key": None}
+
+
+def seed(value: int) -> None:
+    """Seed the global key sequence."""
+    _state["key"] = jax.random.PRNGKey(value)
+
+
+def next_key() -> Array:
+    """Return a fresh key from the global sequence (seeding with 0 if unset)."""
+    if _state["key"] is None:
+        seed(0)
+    _state["key"], sub = jax.random.split(_state["key"])
+    return sub
+
+
+def ensure_key(key: Array | None) -> Array:
+    """Return ``key`` if given, else draw from the global sequence."""
+    return key if key is not None else next_key()

@@ -1,0 +1,208 @@
+"""Beam construction and statistics: exact moment matching, Twiss round-trips,
+parity with the torch reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from reference_oracle import ref_particle_beam
+
+from cheetah_tpu import ParameterBeam, ParticleBeam, Species
+
+
+def test_from_parameters_moments_are_exact(key):
+    """Sampled beams match the requested moments exactly via Cholesky
+    whiten-recolour (ref ``particle_beam.py:357-431``)."""
+    beam = ParticleBeam.from_parameters(
+        num_particles=10_000,
+        mu_x=jnp.array(1e-5, jnp.float64),
+        sigma_x=jnp.array(175e-6, jnp.float64),
+        sigma_px=jnp.array(2e-7, jnp.float64),
+        mu_px=jnp.array(1e-7, jnp.float64),
+        sigma_y=jnp.array(175e-6, jnp.float64),
+        sigma_p=jnp.array(1e-3, jnp.float64),
+        cov_xpx=jnp.array(1e-11, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    np.testing.assert_allclose(beam.mu_x, 1e-5, rtol=1e-9)
+    np.testing.assert_allclose(beam.sigma_x, 175e-6, rtol=1e-9)
+    np.testing.assert_allclose(beam.mu_px, 1e-7, rtol=1e-9)
+    np.testing.assert_allclose(beam.sigma_px, 2e-7, rtol=1e-9)
+    np.testing.assert_allclose(beam.cov_xpx, 1e-11, rtol=1e-6)
+
+
+def test_from_twiss_round_trip(key):
+    beam = ParticleBeam.from_twiss(
+        num_particles=50_000,
+        beta_x=jnp.array(5.0, jnp.float64),
+        alpha_x=jnp.array(-1.2, jnp.float64),
+        emittance_x=jnp.array(2e-9, jnp.float64),
+        beta_y=jnp.array(3.0, jnp.float64),
+        alpha_y=jnp.array(0.7, jnp.float64),
+        emittance_y=jnp.array(3e-9, jnp.float64),
+        energy=jnp.array(6e9, jnp.float64),
+        key=key,
+    )
+    np.testing.assert_allclose(beam.beta_x, 5.0, rtol=1e-6)
+    np.testing.assert_allclose(beam.alpha_x, -1.2, rtol=1e-6)
+    np.testing.assert_allclose(beam.emittance_x, 2e-9, rtol=1e-6)
+    np.testing.assert_allclose(beam.beta_y, 3.0, rtol=1e-6)
+    np.testing.assert_allclose(beam.alpha_y, 0.7, rtol=1e-6)
+    np.testing.assert_allclose(beam.emittance_y, 3e-9, rtol=1e-6)
+
+
+def test_parameter_beam_from_twiss():
+    beam = ParameterBeam.from_twiss(
+        beta_x=jnp.array(5.0, jnp.float64),
+        alpha_x=jnp.array(-1.2, jnp.float64),
+        emittance_x=jnp.array(2e-9, jnp.float64),
+        beta_y=jnp.array(3.0, jnp.float64),
+        alpha_y=jnp.array(0.7, jnp.float64),
+        emittance_y=jnp.array(3e-9, jnp.float64),
+        energy=jnp.array(6e9, jnp.float64),
+    )
+    np.testing.assert_allclose(beam.beta_x, 5.0, rtol=1e-9)
+    np.testing.assert_allclose(beam.alpha_x, -1.2, rtol=1e-9)
+    np.testing.assert_allclose(beam.emittance_x, 2e-9, rtol=1e-9)
+
+
+def test_statistics_match_reference(key):
+    """All survival-weighted statistics agree with the torch reference."""
+    beam = ParticleBeam.from_parameters(
+        num_particles=2_000, energy=jnp.array(1.2e8, jnp.float64), key=key
+    )
+    # Non-trivial survival probabilities exercise the weighting.
+    beam.survival_probabilities = jax.random.uniform(
+        jax.random.PRNGKey(99), (2_000,), dtype=jnp.float64
+    )
+    ref_beam = ref_particle_beam(beam)
+
+    for attr in [
+        "mu_x", "sigma_x", "mu_px", "sigma_px", "mu_y", "sigma_y",
+        "mu_py", "sigma_py", "mu_tau", "sigma_tau", "mu_p", "sigma_p",
+        "cov_xpx", "cov_ypy", "cov_taup", "cov_xp", "cov_pxp", "cov_yp",
+        "cov_pyp", "cov_xy", "cov_xpy", "cov_xtau", "cov_pxy", "cov_pxpy",
+        "cov_pxtau", "cov_ytau", "cov_pytau",
+        "emittance_x", "emittance_y", "projected_emittance_x",
+        "projected_emittance_y", "normalized_emittance_x",
+        "normalized_emittance_y", "beta_x", "beta_y", "alpha_x", "alpha_y",
+        "dispersion_x", "dispersion_px", "dispersion_y", "dispersion_py",
+        "relativistic_gamma", "relativistic_beta", "p0c", "total_charge",
+    ]:
+        expected = getattr(ref_beam, attr).detach().numpy()
+        actual = np.asarray(getattr(beam, attr))
+        np.testing.assert_allclose(actual, expected, rtol=1e-9, err_msg=attr)
+
+
+def test_parameter_particle_beam_consistency(key):
+    """A ParticleBeam's collapsed moments match the equivalent ParameterBeam
+    (analogue of ``tests/test_compare_beam_type.py``)."""
+    twiss = dict(
+        beta_x=jnp.array(4.0, jnp.float64),
+        alpha_x=jnp.array(0.3, jnp.float64),
+        emittance_x=jnp.array(1e-9, jnp.float64),
+        beta_y=jnp.array(2.0, jnp.float64),
+        alpha_y=jnp.array(-0.4, jnp.float64),
+        emittance_y=jnp.array(2e-9, jnp.float64),
+        energy=jnp.array(1.5e8, jnp.float64),
+    )
+    particle = ParticleBeam.from_twiss(num_particles=100_000, key=key, **twiss)
+    parameter = ParameterBeam.from_twiss(**twiss)
+    np.testing.assert_allclose(particle.sigma_x, parameter.sigma_x, rtol=1e-6)
+    np.testing.assert_allclose(particle.sigma_px, parameter.sigma_px, rtol=1e-6)
+    np.testing.assert_allclose(particle.beta_x, parameter.beta_x, rtol=1e-4)
+
+    collapsed = particle.as_parameter_beam()
+    np.testing.assert_allclose(collapsed.sigma_x, particle.sigma_x, rtol=1e-9)
+
+
+def test_transformed_to(key):
+    beam = ParticleBeam.from_parameters(
+        num_particles=10_000, energy=jnp.array(1e8, jnp.float64), key=key
+    )
+    transformed = beam.transformed_to(
+        mu_x=jnp.array(1e-4, jnp.float64), sigma_x=jnp.array(2e-4, jnp.float64)
+    )
+    np.testing.assert_allclose(transformed.mu_x, 1e-4, rtol=1e-9)
+    np.testing.assert_allclose(transformed.sigma_x, 2e-4, rtol=1e-9)
+    # Other dimensions unchanged
+    np.testing.assert_allclose(transformed.sigma_y, beam.sigma_y, rtol=1e-9)
+
+
+def test_uniform_3d_ellipsoid(key):
+    radius_x, radius_y, radius_tau = 2e-3, 1e-3, 3e-3
+    beam = ParticleBeam.uniform_3d_ellipsoid(
+        num_particles=50_000,
+        radius_x=jnp.array(radius_x, jnp.float64),
+        radius_y=jnp.array(radius_y, jnp.float64),
+        radius_tau=jnp.array(radius_tau, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    # All particles inside the ellipsoid
+    inside = (
+        (np.asarray(beam.x) / radius_x) ** 2
+        + (np.asarray(beam.y) / radius_y) ** 2
+        + (np.asarray(beam.tau) / radius_tau) ** 2
+    )
+    assert np.all(inside <= 1.0 + 1e-9)
+    # Uniform ellipsoid: sigma = radius / sqrt(5)
+    np.testing.assert_allclose(beam.sigma_x, radius_x / np.sqrt(5), rtol=2e-2)
+
+
+def test_make_linspaced():
+    beam = ParticleBeam.make_linspaced(
+        num_particles=11,
+        mu_x=jnp.array(1e-5, jnp.float64),
+        sigma_x=jnp.array(1e-4, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+    )
+    assert beam.num_particles == 11
+    np.testing.assert_allclose(beam.x[0], 1e-5 - 1e-4, rtol=1e-12)
+    np.testing.assert_allclose(beam.x[-1], 1e-5 + 1e-4, rtol=1e-12)
+    np.testing.assert_allclose(beam.mu_x, 1e-5, atol=1e-12)
+
+
+def test_xyz_pxpypz_round_trip(key):
+    beam = ParticleBeam.from_parameters(
+        num_particles=1_000, energy=jnp.array(1.5e8, jnp.float64), key=key
+    )
+    xp = beam.to_xyz_pxpypz()
+    restored = ParticleBeam.from_xyz_pxpypz(
+        xp, beam.energy, beam.particle_charges, beam.survival_probabilities,
+        beam.s, beam.species,
+    )
+    np.testing.assert_allclose(
+        restored.particles, beam.particles, rtol=1e-9, atol=1e-18
+    )
+
+
+def test_species():
+    electron = Species("electron")
+    assert electron.num_elementary_charges == -1
+    assert float(electron.mass_eV) > 5e5
+    custom = Species("ion", num_elementary_charges=2.0, mass_eV=3.0e9)
+    np.testing.assert_allclose(custom.charge_coulomb, 2 * 1.602176634e-19)
+    proton = Species("proton")
+    np.testing.assert_allclose(float(proton.mass_kg), 1.6726e-27, rtol=1e-3)
+
+
+def test_vectorized_beam_shapes(key):
+    beam = ParticleBeam.from_parameters(
+        num_particles=100,
+        sigma_x=jnp.full((3, 2), 1e-4, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    assert beam.particles.shape == (3, 2, 100, 7)
+    assert beam.sigma_x.shape == (3, 2)
+    indexed = beam[0]
+    assert indexed.particles.shape == (2, 100, 7)
+
+
+def test_getitem_broadcasts(key):
+    beam = ParticleBeam.from_parameters(
+        num_particles=50, energy=jnp.full((4,), 1e8, jnp.float64), key=key
+    )
+    sliced = beam[2]
+    assert sliced.particles.shape == (50, 7)
