@@ -8,14 +8,25 @@ transformations, and collective-effect kernels target XLA/Pallas.
 """
 
 from cheetah_tpu.accelerator import (
+    BPM,
+    Aperture,
+    Cavity,
     CombinedCorrector,
     CustomTransferMap,
+    Dipole,
     Drift,
     Element,
     HorizontalCorrector,
     Marker,
     Quadrupole,
+    RBend,
+    Screen,
     Segment,
+    Sextupole,
+    Solenoid,
+    Superimposed,
+    TransverseDeflectingCavity,
+    Undulator,
     VerticalCorrector,
 )
 from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam, Species
@@ -23,9 +34,13 @@ from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam, Species
 __version__ = "0.1.0"
 
 __all__ = [
+    "Aperture",
+    "BPM",
     "Beam",
+    "Cavity",
     "CombinedCorrector",
     "CustomTransferMap",
+    "Dipole",
     "Drift",
     "Element",
     "HorizontalCorrector",
@@ -33,7 +48,14 @@ __all__ = [
     "ParameterBeam",
     "ParticleBeam",
     "Quadrupole",
+    "RBend",
+    "Screen",
     "Segment",
+    "Sextupole",
+    "Solenoid",
     "Species",
+    "Superimposed",
+    "TransverseDeflectingCavity",
+    "Undulator",
     "VerticalCorrector",
 ]

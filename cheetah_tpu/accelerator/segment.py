@@ -345,6 +345,32 @@ class Segment(Element):
             incoming = todo.track(incoming)
         return incoming
 
+    def track_with_readings(
+        self, incoming: Beam
+    ) -> tuple[Beam, dict[str, Array]]:
+        """Track a beam and functionally collect diagnostic readings.
+
+        The jit-safe counterpart of the reference's stateful
+        ``screen.reading`` / ``bpm.reading`` pattern (``screen.py:214``,
+        ``bpm.py:77-87``): every active element with an ``observe`` method
+        (Screen, BPM) contributes ``readings[element.name]`` computed from the
+        beam at its location.
+
+        :return: ``(outgoing_beam, readings)``.
+        """
+        readings: dict[str, Array] = {}
+        for element in self.elements:
+            if isinstance(element, Segment):
+                incoming, sub_readings = element.track_with_readings(incoming)
+                readings.update(sub_readings)
+            else:
+                if hasattr(element, "observe") and getattr(
+                    element, "is_active", False
+                ):
+                    readings[element.name] = element.observe(incoming)
+                incoming = element.track(incoming)
+        return incoming, readings
+
     def _plan(self) -> list[Element]:
         """Partition elements into fused skippable runs and individual
         non-skippable elements."""
