@@ -24,6 +24,7 @@ from cheetah_tpu.accelerator import (
     Segment,
     Sextupole,
     Solenoid,
+    SpaceChargeKick,
     Superimposed,
     TransverseDeflectingCavity,
     Undulator,
@@ -53,6 +54,7 @@ __all__ = [
     "Segment",
     "Sextupole",
     "Solenoid",
+    "SpaceChargeKick",
     "Species",
     "Superimposed",
     "TransverseDeflectingCavity",

@@ -16,6 +16,7 @@ from cheetah_tpu.accelerator.rbend import RBend
 from cheetah_tpu.accelerator.screen import Screen
 from cheetah_tpu.accelerator.segment import Segment
 from cheetah_tpu.accelerator.sextupole import Sextupole
+from cheetah_tpu.accelerator.space_charge_kick import SpaceChargeKick
 from cheetah_tpu.accelerator.solenoid import Solenoid
 from cheetah_tpu.accelerator.superimposed import Superimposed
 from cheetah_tpu.accelerator.transverse_deflecting_cavity import (
@@ -40,6 +41,7 @@ __all__ = [
     "Segment",
     "Sextupole",
     "Solenoid",
+    "SpaceChargeKick",
     "Superimposed",
     "TransverseDeflectingCavity",
     "Undulator",

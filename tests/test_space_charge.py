@@ -1,0 +1,129 @@
+"""Space charge: exact parity with the torch reference and the analytic
+cold-uniform-beam expansion (ref ``tests/test_space_charge_kick.py:20-80``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from reference_oracle import ref, ref_particle_beam, to_numpy, torch
+
+import cheetah_tpu as ct
+from cheetah_tpu import constants
+
+
+def test_space_charge_kick_parity(key):
+    """Momentum kicks match the reference at float64 for the same particles."""
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=2_000,
+        sigma_x=jnp.array(2e-4, jnp.float64),
+        sigma_y=jnp.array(2e-4, jnp.float64),
+        sigma_tau=jnp.array(1e-4, jnp.float64),
+        sigma_p=jnp.array(1e-4, jnp.float64),
+        total_charge=jnp.array(1e-9, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    kick = ct.SpaceChargeKick(jnp.array(0.5, jnp.float64), grid_shape=(16, 16, 16))
+    ref_kick = ref.SpaceChargeKick(torch.tensor(0.5), grid_shape=(16, 16, 16))
+
+    out = kick.track(beam)
+    ref_out = ref_kick.track(ref_particle_beam(beam))
+
+    np.testing.assert_allclose(
+        out.particles, to_numpy(ref_out.particles), rtol=1e-7, atol=1e-14
+    )
+
+
+def test_space_charge_kick_vectorized_parity(key):
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.full((3,), 2e-4, jnp.float64),
+        sigma_y=jnp.array(2e-4, jnp.float64),
+        sigma_tau=jnp.array(1e-4, jnp.float64),
+        total_charge=jnp.array(1e-9, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    kick = ct.SpaceChargeKick(jnp.array(0.5, jnp.float64), grid_shape=(8, 8, 8))
+    out = kick.track(beam)
+    assert out.particles.shape == (3, 1_000, 7)
+    assert np.all(np.isfinite(out.particles))
+
+
+@pytest.mark.parametrize(
+    "energy", [2.5e8, 1e6], ids=["ultra-relativistic", "non-relativistic"]
+)
+def test_cold_uniform_beam_expansion(energy, key):
+    """A cold uniform beam doubles in size in all three dimensions over the
+    analytically known section length (ImpactX expanding-beam benchmark)."""
+    R0 = 0.001
+    gamma = energy / constants.electron_mass_eV
+    beta = float(np.sqrt(1 - 1 / gamma**2))
+
+    incoming = ct.ParticleBeam.uniform_3d_ellipsoid(
+        num_particles=100_000,
+        total_charge=jnp.array(1e-8, jnp.float64),
+        energy=jnp.array(energy, jnp.float64),
+        radius_x=jnp.array(R0, jnp.float64),
+        radius_y=jnp.array(R0, jnp.float64),
+        radius_tau=jnp.array(R0 / gamma / beta, jnp.float64),
+        sigma_px=jnp.array(1e-15, jnp.float64),
+        sigma_py=jnp.array(1e-15, jnp.float64),
+        sigma_p=jnp.array(1e-15, jnp.float64),
+        key=key,
+    )
+
+    kappa = 1 + (np.sqrt(2) / 4) * np.log(3 + 2 * np.sqrt(2))
+    Nb = float(jnp.abs(incoming.total_charge)) / constants.elementary_charge
+    section_length = jnp.array(
+        beta * gamma * kappa * np.sqrt(R0**3 / (Nb * constants.electron_radius)),
+        jnp.float64,
+    )
+
+    segment = ct.Segment(
+        [
+            ct.Drift(section_length / 6),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 6),
+        ]
+    )
+    outgoing = jax.jit(lambda seg, beam: seg.track(beam))(segment, incoming)
+
+    np.testing.assert_allclose(
+        outgoing.sigma_x, 2 * incoming.sigma_x, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        outgoing.sigma_y, 2 * incoming.sigma_y, rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        outgoing.sigma_tau, 2 * incoming.sigma_tau, rtol=2e-2
+    )
+
+
+def test_space_charge_differentiable(key):
+    """Gradients flow through deposit -> FFT solve -> gather."""
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=500,
+        sigma_x=jnp.array(2e-4, jnp.float64),
+        total_charge=jnp.array(1e-9, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.array(0.25, jnp.float64)),
+            ct.SpaceChargeKick(jnp.array(0.5, jnp.float64), grid_shape=(8, 8, 8)),
+            ct.Drift(jnp.array(0.25, jnp.float64)),
+        ]
+    )
+
+    def loss(effect_length, segment, beam):
+        segment.elements[1].effect_length = effect_length
+        return segment.track(beam).sigma_px
+
+    grad = jax.grad(loss)(jnp.array(0.5, jnp.float64), segment, beam)
+    assert np.isfinite(grad) and abs(float(grad)) > 0
