@@ -10,7 +10,7 @@ from jax import Array
 from cheetah_tpu.accelerator.element import Element, ZeroLengthMixin
 from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.particles.species import Species
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 from cheetah_tpu.utils.warnings import PhysicsWarning
 
 
@@ -51,10 +51,10 @@ class Aperture(ZeroLengthMixin, Element):
         dtype: jnp.dtype | None = None,
     ) -> None:
         assert shape in ["rectangular", "elliptical"], f"Unknown aperture shape {shape}"
-        self.x_max = jnp.asarray(
+        self.x_max = as_float_array(
             x_max if x_max is not None else float("inf"), dtype=dtype
         )
-        self.y_max = jnp.asarray(
+        self.y_max = as_float_array(
             y_max if y_max is not None else float("inf"), dtype=dtype
         )
         self.shape = shape

@@ -9,7 +9,7 @@ from jax import Array
 from cheetah_tpu.accelerator.element import Element, ZeroLengthMixin
 from cheetah_tpu.particles import Beam
 from cheetah_tpu.particles.species import Species
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -42,7 +42,7 @@ class BPM(ZeroLengthMixin, Element):
         dtype: jnp.dtype | None = None,
     ) -> None:
         self.is_active = is_active
-        self.misalignment = jnp.asarray(
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
         self._init_element(name, sanitize_name, metadata)

@@ -13,7 +13,7 @@ from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.maths import log1pdiv
 from cheetah_tpu.utils.physics import compute_relativistic_factors
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 def _safe(x: Array, bad: Array) -> Array:
@@ -75,11 +75,11 @@ class Cavity(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.voltage = jnp.asarray(voltage if voltage is not None else 0.0, dtype=dtype)
-        self.phase = jnp.asarray(phase if phase is not None else 0.0, dtype=dtype)
-        self.frequency = jnp.asarray(
+        self.voltage = as_float_array(voltage if voltage is not None else 0.0, dtype=dtype)
+        self.phase = as_float_array(phase if phase is not None else 0.0, dtype=dtype)
+        self.frequency = as_float_array(
             frequency if frequency is not None else 0.0, dtype=dtype
         )
         assert cavity_type in ("standing_wave", "traveling_wave"), (

@@ -13,7 +13,7 @@ from jax import Array
 from cheetah_tpu.accelerator.element import Element
 from cheetah_tpu.ops.transfer_maps import drift_matrix
 from cheetah_tpu.particles.species import Species
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -39,8 +39,8 @@ class HorizontalCorrector(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
-        self.angle = jnp.asarray(
+        self.length = as_float_array(length, dtype=dtype)
+        self.angle = as_float_array(
             angle if angle is not None else 0.0, dtype=self.length.dtype
         )
         self._init_element(name, sanitize_name, metadata)
@@ -86,8 +86,8 @@ class VerticalCorrector(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
-        self.angle = jnp.asarray(
+        self.length = as_float_array(length, dtype=dtype)
+        self.angle = as_float_array(
             angle if angle is not None else 0.0, dtype=self.length.dtype
         )
         self._init_element(name, sanitize_name, metadata)
@@ -135,12 +135,12 @@ class CombinedCorrector(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.horizontal_angle = jnp.asarray(
+        self.horizontal_angle = as_float_array(
             horizontal_angle if horizontal_angle is not None else 0.0, dtype=dtype
         )
-        self.vertical_angle = jnp.asarray(
+        self.vertical_angle = as_float_array(
             vertical_angle if vertical_angle is not None else 0.0, dtype=dtype
         )
         self._init_element(name, sanitize_name, metadata)

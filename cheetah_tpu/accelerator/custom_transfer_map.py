@@ -15,7 +15,7 @@ from jax import Array
 from cheetah_tpu.accelerator.element import Element
 from cheetah_tpu.particles import Beam
 from cheetah_tpu.particles.species import Species
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -42,14 +42,14 @@ class CustomTransferMap(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        tm = jnp.asarray(predefined_transfer_map, dtype=dtype)
+        tm = as_float_array(predefined_transfer_map, dtype=dtype)
         assert tm.shape[-2:] == (7, 7)
         if not isinstance(tm, jax.core.Tracer):
             assert bool(jnp.all(tm[..., -1, :-2] == 0.0)) and bool(
                 jnp.all(tm[..., -1, -1] == 1.0)
             ), "The seventh row of the transfer map must be [0, 0, 0, 0, 0, 0, 1]."
         self.predefined_transfer_map = tm
-        self.length = jnp.asarray(
+        self.length = as_float_array(
             length if length is not None else 0.0, dtype=tm.dtype
         )
         self._init_element(name, sanitize_name, metadata)

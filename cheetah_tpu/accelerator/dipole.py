@@ -11,7 +11,7 @@ from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils import bmadx
 from cheetah_tpu.utils.maths import sqrta2minusbdiva
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -76,9 +76,9 @@ class Dipole(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        asarr = lambda value, default: jnp.asarray(  # noqa: E731
+        asarr = lambda value, default: as_float_array(  # noqa: E731
             value if value is not None else default, dtype=dtype
         )
         self.angle = asarr(angle, 0.0)
@@ -87,13 +87,13 @@ class Dipole(Element):
         self.dipole_e2 = asarr(dipole_e2, 0.0)
         self.fringe_integral = asarr(fringe_integral, 0.0)
         self.fringe_integral_exit = (
-            jnp.asarray(fringe_integral_exit, dtype=dtype)
+            as_float_array(fringe_integral_exit, dtype=dtype)
             if fringe_integral_exit is not None
             else self.fringe_integral
         )
         self.gap = asarr(gap, 0.0)
         self.gap_exit = (
-            jnp.asarray(gap_exit, dtype=dtype) if gap_exit is not None else self.gap
+            as_float_array(gap_exit, dtype=dtype) if gap_exit is not None else self.gap
         )
         self.tilt = asarr(tilt, 0.0)
         self.fringe_at = fringe_at

@@ -11,7 +11,7 @@ from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils import bmadx
 from cheetah_tpu.utils.names import merge_element_names
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -40,7 +40,7 @@ class Drift(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         self._init_element(name, sanitize_name, metadata, tracking_method)
 
     def first_order_transfer_map(self, energy: Array, species: Species) -> Array:

@@ -16,7 +16,7 @@ from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils import bmadx
 from cheetah_tpu.utils.names import merge_element_names
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -58,13 +58,13 @@ class Quadrupole(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.k1 = jnp.asarray(k1 if k1 is not None else 0.0, dtype=dtype)
-        self.misalignment = jnp.asarray(
+        self.k1 = as_float_array(k1 if k1 is not None else 0.0, dtype=dtype)
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
-        self.tilt = jnp.asarray(tilt if tilt is not None else 0.0, dtype=dtype)
+        self.tilt = as_float_array(tilt if tilt is not None else 0.0, dtype=dtype)
         self.num_steps = num_steps
         self._init_element(name, sanitize_name, metadata, tracking_method)
 

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from cheetah_tpu.accelerator.dipole import Dipole
-from cheetah_tpu.utils.pytree import pytree_dataclass
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass
 
 
 @pytree_dataclass(init=False)
@@ -45,9 +45,9 @@ class RBend(Dipole):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        angle = jnp.asarray(angle if angle is not None else 0.0, dtype=dtype)
-        rbend_e1 = jnp.asarray(rbend_e1 if rbend_e1 is not None else 0.0, dtype=dtype)
-        rbend_e2 = jnp.asarray(rbend_e2 if rbend_e2 is not None else 0.0, dtype=dtype)
+        angle = as_float_array(angle if angle is not None else 0.0, dtype=dtype)
+        rbend_e1 = as_float_array(rbend_e1 if rbend_e1 is not None else 0.0, dtype=dtype)
+        rbend_e2 = as_float_array(rbend_e2 if rbend_e2 is not None else 0.0, dtype=dtype)
 
         super().__init__(
             length=length,

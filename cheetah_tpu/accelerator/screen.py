@@ -11,7 +11,7 @@ from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_charge_deposition
 from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.kde import kde_histogram_2d
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -77,13 +77,13 @@ class Screen(ZeroLengthMixin, Element):
             "cloud-in-cell",
         ], f"Invalid method {method}. Must be 'histogram', 'kde', or 'cloud-in-cell'."
 
-        self.pixel_size = jnp.asarray(
+        self.pixel_size = as_float_array(
             pixel_size if pixel_size is not None else (1e-3, 1e-3), dtype=dtype
         )
-        self.misalignment = jnp.asarray(
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
-        self.kde_bandwidth = jnp.asarray(
+        self.kde_bandwidth = as_float_array(
             kde_bandwidth if kde_bandwidth is not None else self.pixel_size[0],
             dtype=dtype,
         )

@@ -167,6 +167,91 @@ class Segment(Element):
         )
 
     # ------------------------------------------------------------------
+    # Serialisation and import (ref ``segment.py:369-523``)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_lattice_json(cls, filepath: str, dtype=None) -> "Segment":
+        """Load a lattice from a LatticeJSON file."""
+        from cheetah_tpu import latticejson
+
+        return latticejson.load_cheetah_model(filepath, dtype=dtype)
+
+    def to_lattice_json(
+        self,
+        filepath: str,
+        title: str | None = None,
+        info: str = "This is a placeholder lattice description",
+    ) -> None:
+        """Save this lattice to a LatticeJSON file."""
+        from cheetah_tpu import latticejson
+
+        latticejson.save_cheetah_model(self, filepath, title, info)
+
+    @classmethod
+    def from_ocelot(
+        cls,
+        cell,
+        name: str | None = None,
+        sanitize_names: bool | None = None,
+        dtype=None,
+        **kwargs,
+    ) -> "Segment":
+        """Translate an Ocelot cell (list of Ocelot elements) to a
+        ``Segment``."""
+        from cheetah_tpu.converters import ocelot
+
+        converted = [
+            ocelot.convert_element(element, sanitize_name=sanitize_names, dtype=dtype)
+            for element in cell
+        ]
+        return cls(converted, name=name, sanitize_name=sanitize_names, **kwargs)
+
+    @classmethod
+    def from_bmad(
+        cls,
+        bmad_lattice_file_path: str,
+        environment_variables: dict | None = None,
+        sanitize_names: bool | None = None,
+        dtype=None,
+    ) -> "Segment":
+        """Read a ``Segment`` from a Bmad lattice file."""
+        from pathlib import Path
+
+        from cheetah_tpu.converters import bmad
+
+        return bmad.convert_lattice(
+            Path(bmad_lattice_file_path), environment_variables, sanitize_names, dtype
+        )
+
+    @classmethod
+    def from_elegant(
+        cls,
+        elegant_lattice_file_path: str,
+        name: str,
+        sanitize_names: bool | None = None,
+        dtype=None,
+    ) -> "Segment":
+        """Read a ``Segment`` from an Elegant lattice file."""
+        from pathlib import Path
+
+        from cheetah_tpu.converters import elegant
+
+        return elegant.convert_lattice(
+            Path(elegant_lattice_file_path), name, sanitize_names, dtype
+        )
+
+    @classmethod
+    def from_nx_tables(cls, filepath) -> "Element":
+        """Read an NX Tables CSV file (ARES-specific format) into a
+        ``Segment``."""
+        from pathlib import Path
+
+        from cheetah_tpu.converters import nxtables
+
+        return nxtables.convert_lattice(Path(filepath))
+
+    # ------------------------------------------------------------------
     # Lattice optimisation passes (eager, outside jit)
     # ------------------------------------------------------------------
 

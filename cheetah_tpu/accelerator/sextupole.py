@@ -14,7 +14,7 @@ from cheetah_tpu.ops.transfer_maps import (
 from cheetah_tpu.particles import Beam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.names import merge_element_names
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -55,13 +55,13 @@ class Sextupole(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.k2 = jnp.asarray(k2 if k2 is not None else 0.0, dtype=dtype)
-        self.misalignment = jnp.asarray(
+        self.k2 = as_float_array(k2 if k2 is not None else 0.0, dtype=dtype)
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
-        self.tilt = jnp.asarray(tilt if tilt is not None else 0.0, dtype=dtype)
+        self.tilt = as_float_array(tilt if tilt is not None else 0.0, dtype=dtype)
         self._init_element(name, sanitize_name, metadata, tracking_method)
 
     def first_order_transfer_map(self, energy: Array, species: Species) -> Array:

@@ -10,7 +10,7 @@ from cheetah_tpu.ops.transfer_maps import misalignment_matrix
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.names import merge_element_names
 from cheetah_tpu.utils.physics import compute_relativistic_factors
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -40,10 +40,10 @@ class Solenoid(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.k = jnp.asarray(k if k is not None else 0.0, dtype=dtype)
-        self.misalignment = jnp.asarray(
+        self.k = as_float_array(k if k is not None else 0.0, dtype=dtype)
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
         self._init_element(name, sanitize_name, metadata)

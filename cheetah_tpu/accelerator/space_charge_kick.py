@@ -32,7 +32,7 @@ from cheetah_tpu.accelerator.element import Element, ZeroLengthMixin
 from cheetah_tpu.constants import elementary_charge, epsilon_0, speed_of_light
 from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_charge_deposition
 from cheetah_tpu.particles import Beam, ParticleBeam
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -69,16 +69,16 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.effect_length = jnp.asarray(effect_length, dtype=dtype)
+        self.effect_length = as_float_array(effect_length, dtype=dtype)
         dtype = self.effect_length.dtype
         self.grid_shape = tuple(grid_shape)
-        self.grid_extent_x = jnp.asarray(
+        self.grid_extent_x = as_float_array(
             grid_extent_x if grid_extent_x is not None else 3.0, dtype=dtype
         )
-        self.grid_extent_y = jnp.asarray(
+        self.grid_extent_y = as_float_array(
             grid_extent_y if grid_extent_y is not None else 3.0, dtype=dtype
         )
-        self.grid_extent_tau = jnp.asarray(
+        self.grid_extent_tau = as_float_array(
             grid_extent_tau if grid_extent_tau is not None else 3.0, dtype=dtype
         )
         self._init_element(name, sanitize_name, metadata)

@@ -10,7 +10,7 @@ from cheetah_tpu.accelerator.element import Element
 from cheetah_tpu.constants import speed_of_light
 from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.utils import bmadx
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -58,17 +58,17 @@ class TransverseDeflectingCavity(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.voltage = jnp.asarray(voltage if voltage is not None else 0.0, dtype=dtype)
-        self.phase = jnp.asarray(phase if phase is not None else 0.0, dtype=dtype)
-        self.frequency = jnp.asarray(
+        self.voltage = as_float_array(voltage if voltage is not None else 0.0, dtype=dtype)
+        self.phase = as_float_array(phase if phase is not None else 0.0, dtype=dtype)
+        self.frequency = as_float_array(
             frequency if frequency is not None else 0.0, dtype=dtype
         )
-        self.misalignment = jnp.asarray(
+        self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )
-        self.tilt = jnp.asarray(tilt if tilt is not None else 0.0, dtype=dtype)
+        self.tilt = as_float_array(tilt if tilt is not None else 0.0, dtype=dtype)
         self.num_steps = num_steps
         self._init_element(name, sanitize_name, metadata, tracking_method)
 

@@ -9,7 +9,7 @@ from jax import Array
 from cheetah_tpu.accelerator.element import Element
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.physics import compute_relativistic_factors
-from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
 
 
 @pytree_dataclass(init=False)
@@ -44,11 +44,11 @@ class Undulator(Element):
         metadata: dict | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.length = jnp.asarray(length, dtype=dtype)
+        self.length = as_float_array(length, dtype=dtype)
         dtype = self.length.dtype
-        self.period = jnp.asarray(period if period is not None else 1.0, dtype=dtype)
-        self.kx = jnp.asarray(kx if kx is not None else 0.0, dtype=dtype)
-        self.ky = jnp.asarray(ky if ky is not None else 0.0, dtype=dtype)
+        self.period = as_float_array(period if period is not None else 1.0, dtype=dtype)
+        self.kx = as_float_array(kx if kx is not None else 0.0, dtype=dtype)
+        self.ky = as_float_array(ky if ky is not None else 0.0, dtype=dtype)
         self._init_element(name, sanitize_name, metadata)
 
     @property

@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
+from cheetah_tpu.utils.pytree import as_float_array
+
 # Defaults follow the reference (``particle_beam.py:193-255``).
 PARAMETER_DEFAULTS = {
     "mu_x": 0.0,
@@ -65,7 +67,9 @@ def resolve_parameters(dtype, **overrides) -> dict[str, Array]:
     resolved = {}
     for name, default in PARAMETER_DEFAULTS.items():
         value = overrides.get(name)
-        resolved[name] = jnp.asarray(value if value is not None else default, dtype=dtype)
+        resolved[name] = as_float_array(
+            value if value is not None else default, dtype=dtype
+        )
     return resolved
 
 

@@ -14,7 +14,7 @@ from jax import Array
 from cheetah_tpu.particles import _moments
 from cheetah_tpu.particles.beam import Beam
 from cheetah_tpu.particles.species import Species
-from cheetah_tpu.utils.pytree import pytree_dataclass
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass
 
 
 @pytree_dataclass(init=False)
@@ -51,7 +51,7 @@ class ParameterBeam(Beam):
         species: Species | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        self.mu = jnp.asarray(mu, dtype=dtype)
+        self.mu = as_float_array(mu, dtype=dtype)
         dtype = self.mu.dtype
         self.cov = jnp.asarray(cov, dtype=dtype)
         self.energy = jnp.asarray(energy, dtype=dtype)
@@ -136,7 +136,7 @@ class ParameterBeam(Beam):
         dtype: jnp.dtype | None = None,
     ) -> "ParameterBeam":
         """Create a beam from Twiss parameters (ref ``parameter_beam.py:282-414``)."""
-        asarr = lambda value, default: jnp.asarray(  # noqa: E731
+        asarr = lambda value, default: as_float_array(  # noqa: E731
             value if value is not None else default, dtype=dtype
         )
         beta_x = asarr(beta_x, 1.0)
@@ -183,6 +183,48 @@ class ParameterBeam(Beam):
             species=species,
             dtype=dtype,
             **moments,
+        )
+
+    @classmethod
+    def from_astra(cls, path: str, dtype: jnp.dtype | None = None) -> "ParameterBeam":
+        """Load an ASTRA particle distribution as moments (ref
+        ``parameter_beam.py:444-474``)."""
+        import numpy as np
+
+        from cheetah_tpu.converters.astra import from_astrabeam
+
+        particles, energy, particle_charges = from_astrabeam(path)
+        mu = jnp.concatenate(
+            [jnp.asarray(particles.mean(axis=0), dtype), jnp.ones((1,), dtype)]
+        )
+        cov = jnp.zeros((7, 7), dtype)
+        cov = cov.at[:6, :6].set(jnp.asarray(np.cov(particles.T), dtype))
+        return cls(
+            mu=mu,
+            cov=cov,
+            energy=jnp.asarray(energy, dtype),
+            total_charge=jnp.asarray(particle_charges.sum(), dtype),
+            species=Species("electron", dtype=dtype),
+        )
+
+    @classmethod
+    def from_ocelot(cls, parray, dtype: jnp.dtype | None = None) -> "ParameterBeam":
+        """Load an Ocelot ParticleArray as moments (ref
+        ``parameter_beam.py:416-442``)."""
+        import numpy as np
+
+        rparticles = np.asarray(parray.rparticles)
+        mu = jnp.concatenate(
+            [jnp.asarray(rparticles.mean(axis=1), dtype), jnp.ones((1,), dtype)]
+        )
+        cov = jnp.zeros((7, 7), dtype)
+        cov = cov.at[:6, :6].set(jnp.asarray(np.cov(rparticles), dtype))
+        return cls(
+            mu=mu,
+            cov=cov,
+            energy=jnp.asarray(1e9 * parray.E, dtype),
+            total_charge=jnp.asarray(np.sum(np.asarray(parray.q_array)), dtype),
+            species=Species("electron", dtype=dtype),
         )
 
     # ------------------------------------------------------------------

@@ -23,7 +23,7 @@ from cheetah_tpu.particles import _moments
 from cheetah_tpu.particles.beam import Beam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.elementwise_linspace import elementwise_linspace
-from cheetah_tpu.utils.pytree import pytree_dataclass
+from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass
 from cheetah_tpu.utils.rng import ensure_key
 from cheetah_tpu.utils.statistics import (
     match_distribution_moments,
@@ -76,7 +76,7 @@ class ParticleBeam(Beam):
         species: Species | None = None,
         dtype: jnp.dtype | None = None,
     ) -> None:
-        particles = jnp.asarray(particles, dtype=dtype)
+        particles = as_float_array(particles, dtype=dtype)
         assert (
             particles.shape[-2] > 0 and particles.shape[-1] == 7
         ), "Particle vectors must be 7-dimensional."
@@ -84,7 +84,7 @@ class ParticleBeam(Beam):
 
         self.species = species if species is not None else Species("electron", dtype=dtype)
         self.particles = particles
-        self.energy = jnp.asarray(energy, dtype=dtype)
+        self.energy = as_float_array(energy, dtype=dtype)
         num_particles = particles.shape[-2]
         self.particle_charges = (
             jnp.asarray(particle_charges, dtype=dtype)
@@ -218,7 +218,7 @@ class ParticleBeam(Beam):
     ) -> "ParticleBeam":
         """Generate a random beam from Twiss parameters (ref
         ``particle_beam.py:433-560``)."""
-        asarr = lambda value, default: jnp.asarray(  # noqa: E731
+        asarr = lambda value, default: as_float_array(  # noqa: E731
             value if value is not None else default, dtype=dtype
         )
         beta_x = asarr(beta_x, 1.0)
@@ -363,7 +363,7 @@ class ParticleBeam(Beam):
     ) -> "ParticleBeam":
         """Generate a beam of evenly spaced particles spanning +-1 sigma in each
         dimension (ref ``particle_beam.py:667-802``)."""
-        asarr = lambda value, default: jnp.asarray(  # noqa: E731
+        asarr = lambda value, default: as_float_array(  # noqa: E731
             value if value is not None else default, dtype=dtype
         )
         mu_x = asarr(mu_x, 0.0)
@@ -417,6 +417,154 @@ class ParticleBeam(Beam):
             s=s,
             species=species,
         )
+
+    @classmethod
+    def from_astra(cls, path: str, dtype: jnp.dtype | None = None) -> "ParticleBeam":
+        """Load an ASTRA particle distribution (ref ``particle_beam.py:834``)."""
+        from cheetah_tpu.converters.astra import from_astrabeam
+
+        particles, energy, particle_charges = from_astrabeam(path)
+        particles_7d = jnp.concatenate(
+            [
+                jnp.asarray(particles, dtype),
+                jnp.ones((particles.shape[0], 1), dtype),
+            ],
+            axis=-1,
+        )
+        return cls(
+            particles=particles_7d,
+            energy=jnp.asarray(energy, dtype),
+            particle_charges=jnp.asarray(particle_charges, dtype),
+            species=Species("electron", dtype=dtype),
+        )
+
+    @classmethod
+    def from_ocelot(cls, parray, dtype: jnp.dtype | None = None) -> "ParticleBeam":
+        """Convert an Ocelot ParticleArray (ref ``particle_beam.py:804``)."""
+        import numpy as np
+
+        rparticles = np.asarray(parray.rparticles)
+        num_particles = rparticles.shape[1]
+        particles = jnp.concatenate(
+            [
+                jnp.asarray(rparticles.T, dtype),
+                jnp.ones((num_particles, 1), dtype),
+            ],
+            axis=-1,
+        )
+        return cls(
+            particles=particles,
+            energy=jnp.asarray(1e9 * parray.E, dtype),
+            particle_charges=jnp.asarray(np.asarray(parray.q_array), dtype),
+            species=Species("electron", dtype=dtype),
+        )
+
+    @classmethod
+    def from_elegant(cls, file_path, dtype: jnp.dtype | None = None) -> "ParticleBeam":
+        """Load an Elegant SDDS particle distribution (ref
+        ``particle_beam.py:867``)."""
+        from pathlib import Path
+
+        from cheetah_tpu.converters import elegant
+
+        particles, energy, particle_charges = elegant.convert_beam(
+            Path(file_path), dtype=dtype
+        )
+        return cls(
+            particles=particles,
+            energy=energy,
+            particle_charges=particle_charges,
+            species=Species("electron", dtype=dtype),
+        )
+
+    @classmethod
+    def from_openpmd_file(
+        cls, path: str, energy: Array, dtype: jnp.dtype | None = None
+    ) -> "ParticleBeam":
+        """Load an openPMD particle group HDF5 file (ref
+        ``particle_beam.py:904``)."""
+        try:
+            import pmd_beamphysics as openpmd
+        except ImportError:
+            raise ImportError(
+                "To use the openPMD beam import, openPMD-beamphysics must be "
+                "installed."
+            )
+        particle_group = openpmd.ParticleGroup(path)
+        return cls.from_openpmd_particlegroup(particle_group, energy, dtype=dtype)
+
+    @classmethod
+    def from_openpmd_particlegroup(
+        cls, particle_group, energy: Array, dtype: jnp.dtype | None = None
+    ) -> "ParticleBeam":
+        """Create a beam from an openPMD ``ParticleGroup`` (ref
+        ``particle_beam.py:926-973``)."""
+        species = Species(particle_group.species, dtype=dtype)
+        energy = jnp.asarray(energy, dtype)
+        p0c = jnp.sqrt(jnp.square(energy) - jnp.square(species.mass_eV))
+
+        x = jnp.asarray(particle_group.x, dtype)
+        y = jnp.asarray(particle_group.y, dtype)
+        px = jnp.asarray(particle_group.px, dtype) / p0c
+        py = jnp.asarray(particle_group.py, dtype) / p0c
+        tau = jnp.asarray(particle_group.t, dtype) * constants.speed_of_light
+        delta = (jnp.asarray(particle_group.energy, dtype) - energy) / p0c
+
+        particles = jnp.stack(
+            [x, px, y, py, tau, delta, jnp.ones_like(x)], axis=-1
+        )
+        return cls(
+            particles=particles,
+            energy=energy,
+            particle_charges=jnp.asarray(particle_group.weight, dtype),
+            survival_probabilities=jnp.asarray(particle_group.status, dtype),
+            species=species,
+        )
+
+    def save_as_openpmd_h5(self, path: str) -> None:
+        """Save the beam as an openPMD particle group HDF5 file."""
+        self.to_openpmd_particlegroup().write(path)
+
+    def to_openpmd_particlegroup(self):
+        """Convert to an openPMD ``ParticleGroup`` (ref
+        ``particle_beam.py:984-1032``). Unvectorised beams only; survival
+        probabilities are thresholded at 0.5 into boolean status flags."""
+        try:
+            import pmd_beamphysics as openpmd
+        except ImportError:
+            raise ImportError(
+                "To use the openPMD beam export, openPMD-beamphysics must be "
+                "installed."
+            )
+        import numpy as np
+
+        if self.particles.ndim != 2:
+            raise ValueError(
+                "Only non-vectorised particle distributions are supported."
+            )
+
+        px = self.px * self.p0c
+        py = self.py * self.p0c
+        p_total = jnp.sqrt(
+            jnp.square(self.energies) - jnp.square(self.species.mass_eV)
+        )
+        pz = jnp.sqrt(jnp.square(p_total) - jnp.square(px) - jnp.square(py))
+        t = self.tau / constants.speed_of_light
+        status = self.survival_probabilities > 0.5
+
+        data = {
+            "x": np.asarray(self.x),
+            "y": np.asarray(self.y),
+            "z": np.asarray(self.tau),
+            "px": np.asarray(px),
+            "py": np.asarray(py),
+            "pz": np.asarray(pz),
+            "t": np.asarray(t),
+            "weight": np.asarray(self.particle_charges),
+            "status": np.asarray(status).astype(int),
+            "species": self.species.name,
+        }
+        return openpmd.ParticleGroup(data=data)
 
     @classmethod
     def from_xyz_pxpypz(

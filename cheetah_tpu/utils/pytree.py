@@ -133,6 +133,18 @@ def _pytree_repr(self) -> str:
     return f"{type(self).__name__}({', '.join(parts)})"
 
 
+def as_float_array(value: Any, dtype: Any = None):
+    """``jnp.asarray`` that promotes integer/bool inputs to the default float
+    dtype (physical parameters must never be integer arrays — integer transfer
+    maps would silently truncate)."""
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(value, dtype=dtype)
+    if dtype is None and not jnp.issubdtype(arr.dtype, jnp.floating):
+        arr = arr.astype(jnp.result_type(float))
+    return arr
+
+
 def tree_equal(a: Any, b: Any) -> bool:
     """Structural + numerical equality of two pytrees (used for ``==``)."""
     import jax.numpy as jnp
