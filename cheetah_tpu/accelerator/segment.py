@@ -542,6 +542,90 @@ class Segment(Element):
                 )
 
     # ------------------------------------------------------------------
+    # Visualisation (thin delegations into cheetah_tpu.plotting)
+    # ------------------------------------------------------------------
+
+    def plot(self, s=0.0, vector_idx: tuple | None = None, ax=None):
+        """Draw the lattice cartoon (ref ``segment.py:726-765``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_segment_cartoon(self, s, vector_idx, ax)
+
+    def plot_mean_and_std(
+        self, incoming, resolution=None, vector_idx=None, axx=None, axy=None
+    ):
+        """Plot beam position and size along s (ref ``segment.py:767-831``)."""
+        from cheetah_tpu import plotting
+
+        reference_segment = self.clone()  # Prevent plotting side effects
+        return plotting.plot_mean_and_std(
+            reference_segment, incoming, resolution, vector_idx, axx, axy
+        )
+
+    def plot_overview(self, incoming, resolution=None, vector_idx=None, fig=None):
+        """Lattice + beam position/size overview (ref ``segment.py:833-870``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_overview(self, incoming, resolution, vector_idx, fig)
+
+    def plot_beam_attrs(
+        self, incoming, attr_names, resolution=None, vector_idx=None, ax=None
+    ):
+        """Plot any beam attributes along s (ref ``segment.py:872-917``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_beam_attrs(
+            self, incoming, attr_names, resolution, vector_idx, ax
+        )
+
+    def plot_beam_attrs_over_lattice(
+        self, incoming, attr_names, resolution=None, vector_idx=None, fig=None
+    ):
+        """Beam attributes over the lattice cartoon (ref ``segment.py:919``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_beam_attrs_over_lattice(
+            self, incoming, attr_names, resolution, vector_idx, fig
+        )
+
+    def plot_twiss(self, incoming, vector_idx=None, ax=None):
+        """Plot Twiss parameters along s (ref ``segment.py:961-997``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_twiss(self, incoming, vector_idx, ax)
+
+    def plot_twiss_over_lattice(self, incoming, vector_idx=None, fig=None):
+        """Twiss over the lattice cartoon (ref ``segment.py:999-1027``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_twiss_over_lattice(self, incoming, vector_idx, fig)
+
+    def to_mesh(
+        self,
+        cuteness: float | dict = 1.0,
+        asset_version: str = "v1.2.0",
+        show_download_progress: bool = True,
+    ):
+        """3D scene of the whole lattice by chaining element meshes and
+        transforms (ref ``segment.py:1029-1055``)."""
+        import trimesh
+
+        scene = trimesh.Scene()
+        input_transform = trimesh.transformations.identity_matrix()
+        for element in self.elements:
+            element_mesh, element_output_transform = element.to_mesh(
+                cuteness=cuteness,
+                asset_version=asset_version,
+                show_download_progress=show_download_progress,
+            )
+            if element_mesh is not None:
+                element_mesh.apply_transform(input_transform)
+            input_transform = input_transform @ element_output_transform
+            scene.add_geometry(element_mesh)
+
+        return scene, input_transform
+
+    # ------------------------------------------------------------------
     # Structure ops
     # ------------------------------------------------------------------
 

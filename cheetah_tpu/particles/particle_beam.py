@@ -54,6 +54,14 @@ class ParticleBeam(Beam):
     s: Array
     species: Species
 
+    PRETTY_DIMENSION_LABELS = {
+        "x": r"$x$",
+        "px": r"$p_x$",
+        "y": r"$y$",
+        "py": r"$p_y$",
+        "tau": r"$\tau$",
+        "p": r"$\delta$",
+    }
     UNVECTORIZED_NUM_ATTR_DIMS = Beam.UNVECTORIZED_NUM_ATTR_DIMS | {
         "particles": 2,
         "particle_charges": 1,
@@ -823,6 +831,38 @@ class ParticleBeam(Beam):
 
     def __len__(self) -> int:
         return int(self.num_particles)
+
+    # ------------------------------------------------------------------
+    # Visualisation (thin delegations into cheetah_tpu.plotting)
+    # ------------------------------------------------------------------
+
+    def plot_1d_distribution(self, dimension, **kwargs):
+        """1D histogram of one phase-space dimension (ref
+        ``particle_beam.py:1348``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_1d_distribution(self, dimension, **kwargs)
+
+    def plot_2d_distribution(self, x_dimension, y_dimension, **kwargs):
+        """2D histogram/contour of two phase-space dimensions (ref
+        ``particle_beam.py:1400``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_2d_distribution(self, x_dimension, y_dimension, **kwargs)
+
+    def plot_distribution(self, **kwargs):
+        """Corner plot over all phase-space dimensions (ref
+        ``particle_beam.py:1489``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_distribution(self, **kwargs)
+
+    def plot_point_cloud(self, **kwargs):
+        """3D scatter of the spatial coordinates (ref
+        ``particle_beam.py:1630``)."""
+        from cheetah_tpu import plotting
+
+        return plotting.plot_point_cloud(self, **kwargs)
 
     @property
     def total_charge(self) -> Array:
