@@ -1,15 +1,17 @@
 """Headline benchmark: macroparticle-element transports/s/chip.
 
-Tracks a 100k-macroparticle ParticleBeam through the ARES EA subcell
-(drifts + 3 quads + 2 correctors — the reference's ``tests/test_speed.py``
-configuration) under ``jax.jit`` on one chip and reports throughput as
-macroparticle-element transports per second.
+Runs the BASELINE.json workloads on one chip and reports the headline metric
+from the production RL-environment configuration (config 5 shape): 4096
+lattice instances x 10k macroparticles tracked through the ARES EA subcell
+under ``jax.jit`` with per-instance quadrupole settings and the beam-size
+readout as output (XLA fuses transport and readout so intermediates stay in
+VMEM).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}`` where
 ``vs_baseline`` is the ratio to the 1e9 transports/s/chip target from
 BASELINE.json (the reference publishes no absolute numbers; its only hard
-figure is <0.1 s for this config on CI CPU, which this run beats by orders of
-magnitude).
+figure is <0.1 s for 100k particles + screen readout on CI CPU — measured
+here as well and recorded in bench_details.json).
 """
 
 import json
@@ -19,54 +21,99 @@ import jax
 import jax.numpy as jnp
 
 
+def _timeit(fn, *args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
 def main() -> None:
-    from cheetah_tpu import ParticleBeam
+    import cheetah_tpu as ct
     from cheetah_tpu.lattices import ares_ea_subcell
 
-    num_particles = 100_000
-    dtype = jnp.float32
+    f32 = jnp.float32
+    details = {}
 
-    segment = ares_ea_subcell(dtype=dtype)
+    def make_beam(num_particles):
+        return ct.ParticleBeam.from_twiss(
+            num_particles=num_particles,
+            beta_x=jnp.asarray(5.0, f32),
+            alpha_x=jnp.asarray(-1.0, f32),
+            emittance_x=jnp.asarray(2e-9, f32),
+            beta_y=jnp.asarray(3.0, f32),
+            alpha_y=jnp.asarray(0.5, f32),
+            emittance_y=jnp.asarray(2e-9, f32),
+            energy=jnp.asarray(1.54e8, f32),
+            total_charge=jnp.asarray(1e-10, f32),
+            key=jax.random.PRNGKey(0),
+            dtype=f32,
+        )
+
+    # Headline: vectorised RL env step (config 5 shape on one chip).
+    num_instances, num_particles = 4096, 10_000
+    segment = ares_ea_subcell(dtype=f32)
+    segment.AREAMQZM1.k1 = jnp.linspace(-20, 20, num_instances, dtype=f32)
     num_elements = len(segment.elements)
+    beam_10k = make_beam(num_particles)
 
-    beam = ParticleBeam.from_twiss(
-        num_particles=num_particles,
-        beta_x=jnp.asarray(5.0, dtype),
-        alpha_x=jnp.asarray(-1.0, dtype),
-        emittance_x=jnp.asarray(2e-9, dtype),
-        beta_y=jnp.asarray(3.0, dtype),
-        alpha_y=jnp.asarray(0.5, dtype),
-        emittance_y=jnp.asarray(2e-9, dtype),
-        energy=jnp.asarray(1.54e8, dtype),
-        key=jax.random.PRNGKey(0),
-        dtype=dtype,
+    env_step = jax.jit(lambda seg, beam: seg.track(beam).sigma_x)
+    dt = _timeit(env_step, segment, beam_10k)
+    transports_per_s = num_instances * num_particles * num_elements / dt
+    details["env_step_4096x10k_ms"] = dt * 1e3
+    details["transports_per_s"] = transports_per_s
+
+    # Config 1: ParameterBeam linear transport.
+    parameter_beam = ct.ParameterBeam.from_twiss(
+        beta_x=jnp.asarray(5.0, f32), emittance_x=jnp.asarray(2e-9, f32),
+        beta_y=jnp.asarray(3.0, f32), emittance_y=jnp.asarray(2e-9, f32),
+        energy=jnp.asarray(1.54e8, f32), dtype=f32,
     )
+    dt = _timeit(jax.jit(lambda s, b: s.track(b).sigma_x), segment, parameter_beam)
+    details["parameter_beam_4096_env_step_ms"] = dt * 1e3
+
+    # Reference CI workload: 100k particles + active CIC screen readout
+    # (tests/test_speed.py: < 0.1 s on CPU).
+    screen_segment = ares_ea_subcell(dtype=f32, screen=True)
+    beam_100k = make_beam(100_000)
 
     @jax.jit
-    def step(segment, beam):
-        outgoing = segment.track(beam)
-        # Touch a readout so nothing is dead-code eliminated.
-        return outgoing.particles, outgoing.mu_x, outgoing.sigma_x
+    def track_and_read(seg, beam):
+        _, readings = seg.track_with_readings(beam)
+        return readings["AREABSCR1"]
 
-    # Warm up (compile).
-    particles, mu_x, _ = step(segment, beam)
-    jax.block_until_ready(particles)
+    dt = _timeit(track_and_read, screen_segment, beam_100k, iters=10)
+    details["track_100k_with_screen_ms"] = dt * 1e3
 
-    # Timed runs.
-    num_iters = 200
-    start = time.perf_counter()
-    for _ in range(num_iters):
-        particles, mu_x, sigma_x = step(segment, beam)
-    jax.block_until_ready(particles)
-    elapsed = time.perf_counter() - start
+    # Config 4 shape: space charge, 100k particles, 32^3 grid.
+    sc_segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.1, f32)),
+            ct.SpaceChargeKick(jnp.asarray(0.2, f32)),
+            ct.Drift(jnp.asarray(0.1, f32)),
+            ct.SpaceChargeKick(jnp.asarray(0.2, f32)),
+            ct.Drift(jnp.asarray(0.1, f32)),
+        ]
+    )
+    dt = _timeit(
+        jax.jit(lambda s, b: s.track(b).particles), sc_segment, beam_100k, iters=10
+    )
+    details["space_charge_100k_ms"] = dt * 1e3
 
-    transports_per_s = num_particles * num_elements * num_iters / elapsed
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
     target = 1e9  # BASELINE.json north-star target per chip
-
     print(
         json.dumps(
             {
-                "metric": "macroparticle-element transports/s/chip (ARES EA, 100k particles, jit)",
+                "metric": (
+                    "macroparticle-element transports/s/chip "
+                    "(ARES EA env step, 4096 instances x 10k particles, jit)"
+                ),
                 "value": transports_per_s,
                 "unit": "transports/s",
                 "vs_baseline": transports_per_s / target,

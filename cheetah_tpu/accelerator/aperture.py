@@ -54,6 +54,7 @@ class Aperture(ZeroLengthMixin, Element):
         self.x_max = as_float_array(
             x_max if x_max is not None else float("inf"), dtype=dtype
         )
+        dtype = self.x_max.dtype
         self.y_max = as_float_array(
             y_max if y_max is not None else float("inf"), dtype=dtype
         )

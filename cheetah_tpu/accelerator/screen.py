@@ -80,6 +80,7 @@ class Screen(ZeroLengthMixin, Element):
         self.pixel_size = as_float_array(
             pixel_size if pixel_size is not None else (1e-3, 1e-3), dtype=dtype
         )
+        dtype = self.pixel_size.dtype
         self.misalignment = as_float_array(
             misalignment if misalignment is not None else (0.0, 0.0), dtype=dtype
         )

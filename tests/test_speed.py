@@ -1,0 +1,81 @@
+"""Speed guards (analogue of the reference's ``tests/test_speed.py:14-35``:
+1e5 particles through the ARES EA subcell incl. screen readout in < 0.1 s on
+CI CPU) and optimisation equivalence (``test_speed_optimizations.py``)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cheetah_tpu as ct
+from cheetah_tpu.lattices import ares_ea_subcell
+
+
+def make_beam(key, num_particles=100_000):
+    return ct.ParticleBeam.from_twiss(
+        num_particles=num_particles,
+        beta_x=jnp.array(5.0, jnp.float64),
+        emittance_x=jnp.array(2e-9, jnp.float64),
+        beta_y=jnp.array(3.0, jnp.float64),
+        emittance_y=jnp.array(2e-9, jnp.float64),
+        energy=jnp.array(1.54e8, jnp.float64),
+        total_charge=jnp.array(1e-10, jnp.float64),
+        key=key,
+    )
+
+
+def test_track_100k_with_screen_under_100ms(key):
+    """The reference's hard CI figure: tracking 1e5 particles through the ARES
+    EA subcell including the active screen readout must take < 0.1 s
+    (post-compile; compile time is amortised by jit caching)."""
+    segment = ares_ea_subcell(dtype=jnp.float64, screen=True)
+    beam = make_beam(key)
+
+    @jax.jit
+    def track_and_read(segment, beam):
+        _, readings = segment.track_with_readings(beam)
+        return readings["AREABSCR1"]
+
+    # Compile.
+    jax.block_until_ready(track_and_read(segment, beam))
+
+    start = time.perf_counter()
+    image = track_and_read(segment, beam)
+    jax.block_until_ready(image)
+    elapsed = time.perf_counter() - start
+
+    assert elapsed < 0.1, f"Tracking took {elapsed:.3f} s (limit 0.1 s)"
+    assert image.shape == (2040, 2448)
+
+
+def test_merged_segment_is_equivalent_and_not_slower(key):
+    """``transfer_maps_merged`` produces identical tracking results
+    (ref ``tests/test_speed_optimizations.py``)."""
+    segment = ares_ea_subcell(dtype=jnp.float64)
+    beam = make_beam(key, num_particles=10_000)
+
+    merged = segment.transfer_maps_merged(incoming_beam=beam)
+    out = segment.track(beam)
+    out_merged = merged.track(beam)
+    np.testing.assert_allclose(
+        out.particles, out_merged.particles, rtol=1e-9, atol=1e-14
+    )
+    # The merged segment collapses all skippable elements into one map.
+    assert len(merged.elements) < len(segment.elements)
+
+
+def test_optimization_passes_preserve_tracking(key):
+    segment = ares_ea_subcell(dtype=jnp.float64)
+    beam = make_beam(key, num_particles=5_000)
+    expected = segment.track(beam)
+
+    optimized = (
+        segment.without_inactive_markers()
+        .without_inactive_zero_length_elements()
+        .inactive_elements_as_drifts(except_for=["AREAMQZM1", "AREAMQZM2", "AREAMQZM3"])
+    )
+    out = optimized.track(beam)
+    np.testing.assert_allclose(
+        out.particles, expected.particles, rtol=1e-9, atol=1e-14
+    )
