@@ -1,0 +1,58 @@
+"""Checkpointing of beams, lattices and arbitrary pytrees.
+
+The reference persists state through ``nn.Module.state_dict()`` (SURVEY §5.4);
+the pytree-native equivalent serialises any cheetah-tpu object (all leaves are
+arrays, all aux data reconstructs the classes) to a single ``.npz`` file.
+For large-scale training state prefer `orbax.checkpoint`; this module covers
+the reference's model-persistence scope without extra dependencies.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def state_dict(obj: Any) -> dict[str, np.ndarray]:
+    """Flatten a pytree into a ``{path: array}`` dict (the analogue of
+    ``nn.Module.state_dict()``)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(obj)
+    return {
+        jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat
+    }
+
+
+def load_state_dict(obj: Any, state: dict[str, np.ndarray]) -> Any:
+    """Return a copy of ``obj`` with leaves replaced from ``state`` (keyed by
+    pytree path). Missing keys keep the current value."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(obj)
+    leaves = [
+        state.get(jax.tree_util.keystr(path), leaf) for path, leaf in flat
+    ]
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(leaf) for leaf in leaves]
+    )
+
+
+def save(obj: Any, path: str) -> None:
+    """Save a pytree's arrays (and leaf paths) to an ``.npz`` file."""
+    state = state_dict(obj)
+    np.savez(
+        path,
+        __paths__=json.dumps(list(state.keys())),
+        **{f"leaf_{i}": value for i, value in enumerate(state.values())},
+    )
+
+
+def load(obj: Any, path: str) -> Any:
+    """Restore a pytree saved with :func:`save` into a template object with
+    the same structure."""
+    with np.load(path, allow_pickle=False) as data:
+        paths = json.loads(str(data["__paths__"]))
+        state = {p: data[f"leaf_{i}"] for i, p in enumerate(paths)}
+    return load_state_dict(obj, state)

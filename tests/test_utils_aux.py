@@ -1,0 +1,80 @@
+"""Aux utilities: checkpointing, profiling helpers, name utilities."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import cheetah_tpu as ct
+from cheetah_tpu.utils import checkpoint, profiling
+from cheetah_tpu.utils.names import UniqueNameGenerator, merge_element_names
+
+
+def test_checkpoint_round_trip_segment(tmp_path, key):
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.array(1.0, jnp.float64), name="d1"),
+            ct.Quadrupole(
+                jnp.array(0.3, jnp.float64), k1=jnp.array(4.2, jnp.float64), name="q1"
+            ),
+        ],
+        name="ckpt",
+    )
+    path = str(tmp_path / "segment.npz")
+    checkpoint.save(segment, path)
+
+    # Template with different parameter values, same structure.
+    template = segment.clone()
+    template.q1.k1 = jnp.array(0.0, jnp.float64)
+    restored = checkpoint.load(template, path)
+    np.testing.assert_allclose(restored.q1.k1, 4.2)
+    assert restored == segment
+
+
+def test_checkpoint_round_trip_beam(tmp_path, key):
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=100, energy=jnp.array(1e8, jnp.float64), key=key
+    )
+    path = str(tmp_path / "beam.npz")
+    checkpoint.save(beam, path)
+    template = beam.transformed_to(mu_x=jnp.array(1.0, jnp.float64))
+    restored = checkpoint.load(template, path)
+    np.testing.assert_allclose(restored.particles, beam.particles)
+
+
+def test_state_dict_paths():
+    quad = ct.Quadrupole(jnp.array(0.3, jnp.float64), k1=jnp.array(1.0, jnp.float64))
+    state = checkpoint.state_dict(quad)
+    assert any("k1" in key for key in state)
+    assert any("length" in key for key in state)
+
+
+def test_profiling_benchmark(key):
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=100, energy=jnp.array(1e8, jnp.float64), key=key
+    )
+    drift = ct.Drift(jnp.array(1.0, jnp.float64))
+    import jax
+
+    stats = profiling.benchmark(
+        jax.jit(lambda d, b: d.track(b).particles), drift, beam, iters=3
+    )
+    assert stats["min_ms"] > 0
+
+
+def test_profiling_compiled_stats(key):
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1000, energy=jnp.array(1e8, jnp.float64), key=key
+    )
+    drift = ct.Drift(jnp.array(1.0, jnp.float64))
+    stats = profiling.compiled_stats(lambda d, b: d.track(b).particles, drift, beam)
+    assert stats["flops"] > 0
+
+
+def test_unique_name_generator():
+    generator = UniqueNameGenerator("thing")
+    assert generator() == "thing_0"
+    assert generator() == "thing_1"
+
+
+def test_merge_element_names():
+    assert merge_element_names("d_1", "d_2") == "d_1_2"
+    assert merge_element_names("alpha", "beta") == "alpha_beta"
