@@ -30,7 +30,18 @@ from cheetah_tpu.accelerator import (
     Undulator,
     VerticalCorrector,
 )
+from cheetah_tpu import converters, latticejson
+from cheetah_tpu.ops import transfer_maps as track_methods
 from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam, Species
+from cheetah_tpu.utils.warnings import (
+    DefaultParameterWarning,
+    DirtyNameWarning,
+    NoBeamPropertiesInLatticeWarning,
+    NotUnderstoodPropertyWarning,
+    PhysicsWarning,
+    UnknownElementWarning,
+    VisualizationWarning,
+)
 
 __version__ = "0.1.0"
 
@@ -38,6 +49,16 @@ __all__ = [
     "Aperture",
     "BPM",
     "Beam",
+    "converters",
+    "DefaultParameterWarning",
+    "DirtyNameWarning",
+    "latticejson",
+    "NoBeamPropertiesInLatticeWarning",
+    "NotUnderstoodPropertyWarning",
+    "PhysicsWarning",
+    "track_methods",
+    "UnknownElementWarning",
+    "VisualizationWarning",
     "Cavity",
     "CombinedCorrector",
     "CustomTransferMap",

@@ -40,6 +40,10 @@ class Element:
     #: Tracking methods supported by the element type; the first is the default.
     supported_tracking_methods: list[str] = ["linear"]
 
+    #: Default tracking method for elements that do not declare it as a
+    #: (static) field.
+    tracking_method: str = "linear"
+
     def _init_element(
         self,
         name: str | None,
@@ -81,6 +85,17 @@ class Element:
     # ------------------------------------------------------------------
     # Transfer maps
     # ------------------------------------------------------------------
+
+    def transfer_map(self, energy: Array, species: Species) -> Array:
+        """Deprecated alias of :meth:`first_order_transfer_map`
+        (ref ``element.py:67-102``)."""
+        warnings.warn(
+            "The `transfer_map` method is deprecated and will be removed in a "
+            "future version. Use `first_order_transfer_map` instead.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.first_order_transfer_map(energy, species)
 
     def first_order_transfer_map(self, energy: Array, species: Species) -> Array:
         r"""The element's first-order 7x7 transfer map for a beam with

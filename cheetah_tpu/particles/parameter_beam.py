@@ -313,6 +313,11 @@ class ParameterBeam(Beam):
     # ------------------------------------------------------------------
 
     @property
+    def defining_features(self) -> list[str]:
+        """Features that define the beam (for equality and serialisation)."""
+        return ["mu", "cov", "energy", "total_charge", "s", "species"]
+
+    @property
     def mu_x(self) -> Array:
         return self.mu[..., 0]
 

@@ -1020,6 +1020,18 @@ class ParticleBeam(Beam):
         return self._weighted_cov(self.py, self.tau)
 
     @property
+    def defining_features(self) -> list[str]:
+        """Features that define the beam (for equality and serialisation)."""
+        return [
+            "particles",
+            "energy",
+            "particle_charges",
+            "survival_probabilities",
+            "s",
+            "species",
+        ]
+
+    @property
     def energies(self) -> Array:
         """Energies of the individual particles in eV."""
         return self.p * self.p0c[..., None] + self.energy[..., None]

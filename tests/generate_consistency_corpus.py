@@ -1,0 +1,82 @@
+"""Generate the golden consistency corpus from the torch reference.
+
+Tracks a fixed 3000-particle float64 beam through every element case in the
+zoo with the REFERENCE implementation and stores the outgoing phase space to
+``tests/resources/consistency/`` (the analogue of the reference's pickled
+corpus, ``tests/test_elements.py:355-432``, regenerated as portable .npz).
+
+Run manually when the zoo changes:
+
+    python tests/generate_consistency_corpus.py
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+RESOURCES = pathlib.Path(__file__).parent / "resources" / "consistency"
+
+# The fixed incoming beam: deterministic, moment-matched, easily rebuilt from
+# the stored array on the cheetah_tpu side.
+INCOMING_SEED = 314159
+NUM_PARTICLES = 3000
+ENERGY = 1.5e8
+
+
+def reference_incoming():
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+
+    incoming = np.load(RESOURCES / "incoming.npz")["particles"]
+    import cheetah as ref
+
+    return ref.ParticleBeam(
+        particles=torch.as_tensor(incoming, dtype=torch.float64),
+        energy=torch.tensor(ENERGY, dtype=torch.float64),
+    )
+
+
+def main() -> None:
+    RESOURCES.mkdir(parents=True, exist_ok=True)
+
+    # Deterministic incoming particles (numpy RNG so no torch/jax needed to
+    # rebuild them).
+    rng = np.random.default_rng(INCOMING_SEED)
+    phase_space = rng.normal(
+        0.0,
+        [1.7e-4, 4e-6, 1.7e-4, 4e-6, 1e-5, 1e-3],
+        size=(NUM_PARTICLES, 6),
+    )
+    particles = np.concatenate(
+        [phase_space, np.ones((NUM_PARTICLES, 1))], axis=1
+    )
+    np.savez_compressed(RESOURCES / "incoming.npz", particles=particles)
+
+    from element_zoo import ELEMENT_CASES, build_ref_element
+
+    incoming = reference_incoming()
+    for index, (class_name, spec, parity) in enumerate(ELEMENT_CASES):
+        if spec is None or not parity:
+            continue
+        element = build_ref_element(class_name, spec)
+        outgoing = element.track(incoming)
+        np.savez_compressed(
+            RESOURCES / f"{index:03d}_{class_name}.npz",
+            particles=outgoing.particles.detach().numpy(),
+            energy=outgoing.energy.detach().numpy(),
+            survival_probabilities=(
+                outgoing.survival_probabilities.detach().numpy()
+            ),
+            s=outgoing.s.detach().numpy(),
+        )
+        print(f"wrote {index:03d}_{class_name}.npz")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,15 +9,23 @@ the same strategy the reference itself uses against Ocelot
 import sys
 
 import numpy as np
+import pytest
 
 if "/root/reference" not in sys.path:
     sys.path.insert(0, "/root/reference")
 
-import torch  # noqa: E402
+try:
+    import torch
 
-torch.set_default_dtype(torch.float64)
+    torch.set_default_dtype(torch.float64)
 
-import cheetah as ref  # noqa: E402
+    import cheetah as ref
+except Exception:  # pragma: no cover - only when the mount is absent
+    # Live-oracle tests need the reference checkout; the stored golden corpus
+    # (test_consistency.py) covers regression without it.
+    pytest.skip(
+        "torch reference implementation not importable", allow_module_level=True
+    )
 
 __all__ = ["ref", "torch", "to_torch", "to_numpy"]
 

@@ -1,0 +1,68 @@
+"""Golden-file consistency regression (analogue of the reference's pickled
+corpus, ``tests/test_elements.py:355-432``).
+
+Unlike the live-oracle tests this does NOT require the torch reference to be
+importable: expected outputs were generated once from the reference at
+float64 (``generate_consistency_corpus.py``) and stored as .npz.
+"""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from element_zoo import ELEMENT_CASES, build_jax_element
+
+import cheetah_tpu as ct
+
+RESOURCES = pathlib.Path(__file__).parent / "resources" / "consistency"
+
+GOLDEN_CASES = [
+    (index, class_name, spec)
+    for index, (class_name, spec, parity) in enumerate(ELEMENT_CASES)
+    if spec is not None
+    and parity
+    and (RESOURCES / f"{index:03d}_{class_name}.npz").is_file()
+]
+
+
+def make_incoming() -> ct.ParticleBeam:
+    particles = np.load(RESOURCES / "incoming.npz")["particles"]
+    return ct.ParticleBeam(
+        particles=jnp.asarray(particles, jnp.float64),
+        energy=jnp.asarray(1.5e8, jnp.float64),
+    )
+
+
+def test_corpus_is_complete():
+    """Every parity case in the zoo must have a golden file (regenerate with
+    generate_consistency_corpus.py when adding cases)."""
+    expected = sum(
+        1 for _, spec, parity in ELEMENT_CASES if spec is not None and parity
+    )
+    assert len(GOLDEN_CASES) == expected
+
+
+@pytest.mark.parametrize(
+    "index,class_name,spec",
+    GOLDEN_CASES,
+    ids=[f"{c}-{i}" for i, c, _ in GOLDEN_CASES],
+)
+def test_golden_consistency(index, class_name, spec):
+    incoming = make_incoming()
+    element = build_jax_element(class_name, spec)
+    outgoing = element.track(incoming)
+
+    golden = np.load(RESOURCES / f"{index:03d}_{class_name}.npz")
+    np.testing.assert_allclose(
+        outgoing.particles, golden["particles"], rtol=1e-8, atol=1e-14,
+        err_msg=class_name,
+    )
+    np.testing.assert_allclose(outgoing.energy, golden["energy"], rtol=1e-12)
+    np.testing.assert_allclose(
+        outgoing.survival_probabilities,
+        golden["survival_probabilities"],
+        rtol=1e-12,
+        atol=0,
+    )
+    np.testing.assert_allclose(outgoing.s, golden["s"], rtol=1e-12, atol=1e-15)
