@@ -182,8 +182,9 @@ class Screen(ZeroLengthMixin, Element):
         """The beam as seen by the screen (shifted by its misalignment)."""
         if isinstance(incoming, ParameterBeam):
             mu = incoming.mu
-            mu = mu.at[..., 0].add(-self.misalignment[..., 0])
-            mu = mu.at[..., 2].add(-self.misalignment[..., 1])
+            misalignment = self.misalignment.astype(mu.dtype)
+            mu = mu.at[..., 0].add(-misalignment[..., 0])
+            mu = mu.at[..., 2].add(-misalignment[..., 1])
             return ParameterBeam(
                 mu=mu,
                 cov=incoming.cov,
@@ -194,12 +195,9 @@ class Screen(ZeroLengthMixin, Element):
             )
         elif isinstance(incoming, ParticleBeam):
             particles = incoming.particles
-            particles = particles.at[..., 0].add(
-                -self.misalignment[..., 0, None]
-            )
-            particles = particles.at[..., 2].add(
-                -self.misalignment[..., 1, None]
-            )
+            misalignment = self.misalignment.astype(particles.dtype)
+            particles = particles.at[..., 0].add(-misalignment[..., 0, None])
+            particles = particles.at[..., 2].add(-misalignment[..., 1, None])
             return ParticleBeam(
                 particles=particles,
                 energy=incoming.energy,

@@ -883,25 +883,49 @@ class ParticleBeam(Beam):
     def x(self) -> Array:
         return self.particles[..., 0]
 
+    @x.setter
+    def x(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 0].set(value)
+
     @property
     def px(self) -> Array:
         return self.particles[..., 1]
+
+    @px.setter
+    def px(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 1].set(value)
 
     @property
     def y(self) -> Array:
         return self.particles[..., 2]
 
+    @y.setter
+    def y(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 2].set(value)
+
     @property
     def py(self) -> Array:
         return self.particles[..., 3]
+
+    @py.setter
+    def py(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 3].set(value)
 
     @property
     def tau(self) -> Array:
         return self.particles[..., 4]
 
+    @tau.setter
+    def tau(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 4].set(value)
+
     @property
     def p(self) -> Array:
         return self.particles[..., 5]
+
+    @p.setter
+    def p(self, value: Array) -> None:
+        self.particles = self.particles.at[..., 5].set(value)
 
     def _weighted_mean(self, values: Array) -> Array:
         return jnp.sum(values * self.survival_probabilities, axis=-1) / jnp.sum(

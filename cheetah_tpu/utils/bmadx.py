@@ -47,6 +47,40 @@ def bmad_to_cheetah_z_pz(
     return tau, delta, ref_energy
 
 
+def cheetah_to_bmad_coords(
+    cheetah_coords: Array, ref_energy: Array, mc2: Array
+) -> tuple[Array, Array]:
+    """Full 7D cheetah coordinates to 6D Bmad coordinates plus ``p0c``
+    (ref ``bmadx.py:57-82``)."""
+    z, pz, p0c = cheetah_to_bmad_z_pz(
+        cheetah_coords[..., 4], cheetah_coords[..., 5], ref_energy, mc2
+    )
+    bmad_coords = jnp.concatenate(
+        [cheetah_coords[..., :4], z[..., None], pz[..., None]], axis=-1
+    )
+    return bmad_coords, p0c
+
+
+def bmad_to_cheetah_coords(
+    bmad_coords: Array, p0c: Array, mc2: Array
+) -> tuple[Array, Array]:
+    """6D Bmad coordinates to 7D cheetah coordinates plus the reference
+    energy (ref ``bmadx.py:85-111``)."""
+    tau, delta, ref_energy = bmad_to_cheetah_z_pz(
+        bmad_coords[..., 4], bmad_coords[..., 5], p0c, mc2
+    )
+    cheetah_coords = jnp.concatenate(
+        [
+            bmad_coords[..., :4],
+            tau[..., None],
+            delta[..., None],
+            jnp.ones_like(tau[..., None]),
+        ],
+        axis=-1,
+    )
+    return cheetah_coords, ref_energy
+
+
 def offset_particle_set(
     x_offset: Array,
     y_offset: Array,
