@@ -64,13 +64,48 @@ def kde_histogram_2d(
     bandwidth: Array,
     weights: Array | None = None,
     epsilon: float = 1e-10,
+    chunk_size: int = 4096,
 ) -> Array:
     """Differentiable 2D histogram via KDE (ref ``kde.py:155-204``).
 
+    The joint pdf ``K1^T @ K2`` is accumulated over particle chunks with
+    ``lax.scan`` so the per-particle kernel matrices (``O(N x num_bins)``,
+    ~1 GB for 100k particles on a megapixel screen if materialised at once)
+    never exceed ``O(chunk_size x num_bins)`` of live memory.
+
     :return: Joint pdf of shape ``(..., num_bins1, num_bins2)``.
     """
-    _, kernel_values1 = _kde_marginal_pdf(x1, bins1, bandwidth, weights)
-    _, kernel_values2 = _kde_marginal_pdf(x2, bins2, bandwidth, None)
-    joint = jnp.swapaxes(kernel_values1, -1, -2) @ kernel_values2
+    import jax
+
+    num_particles = x1.shape[-1]
+    if num_particles <= chunk_size:
+        _, kernel_values1 = _kde_marginal_pdf(x1, bins1, bandwidth, weights)
+        _, kernel_values2 = _kde_marginal_pdf(x2, bins2, bandwidth, None)
+        joint = jnp.swapaxes(kernel_values1, -1, -2) @ kernel_values2
+    else:
+        num_chunks = -(-num_particles // chunk_size)
+        pad = num_chunks * chunk_size - num_particles
+        if weights is None:
+            weights = jnp.ones_like(x1)
+        # Padded samples carry zero weight, so they contribute nothing.
+        x1p = jnp.pad(x1, [(0, 0)] * (x1.ndim - 1) + [(0, pad)])
+        x2p = jnp.pad(x2, [(0, 0)] * (x2.ndim - 1) + [(0, pad)])
+        wp = jnp.pad(weights, [(0, 0)] * (weights.ndim - 1) + [(0, pad)])
+
+        def split(values):
+            reshaped = values.reshape(*values.shape[:-1], num_chunks, chunk_size)
+            return jnp.moveaxis(reshaped, -2, 0)
+
+        def body(joint, sl):
+            x1c, x2c, wc = sl
+            _, k1 = _kde_marginal_pdf(x1c, bins1, bandwidth, wc)
+            _, k2 = _kde_marginal_pdf(x2c, bins2, bandwidth, None)
+            return joint + jnp.swapaxes(k1, -1, -2) @ k2, None
+
+        joint_shape = (*x1.shape[:-1], bins1.shape[0], bins2.shape[0])
+        joint, _ = jax.lax.scan(
+            body, jnp.zeros(joint_shape, x1.dtype), (split(x1p), split(x2p), split(wp))
+        )
+
     normalization = jnp.sum(joint, axis=(-2, -1))[..., None, None] + epsilon
     return joint / normalization
