@@ -160,7 +160,15 @@ class Quadrupole(Element):
             z = z + dz_low_energy
             return (x_next, px_next, y_next, py_next, z), None
 
-        x, px, y, py, z = jnp.broadcast_arrays(x, px, y, py, z + jnp.zeros_like(pz))
+        # The scan carry must already have the broadcast shape of one step's
+        # output (batched element parameters enter through the coefficients).
+        carry_shape = jnp.broadcast_shapes(
+            x.shape, tx[0][0].shape, dz_low_energy.shape
+        )
+        x, px, y, py, z = (
+            jnp.broadcast_to(value, carry_shape)
+            for value in (x, px, y, py, z + jnp.zeros_like(pz))
+        )
         (x, px, y, py, z), _ = jax.lax.scan(
             step, (x, px, y, py, z), length=self.num_steps
         )
