@@ -318,3 +318,31 @@ def test_nx_tables_conversion():
     assert len(segment.elements) > 10
     # Elements are in increasing s order with inferred drifts in between.
     assert any(type(e).__name__ == "Drift" for e in segment.elements)
+
+
+def test_lattice_json_preserves_tracking_method(tmp_path):
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(
+                jnp.array(0.3, jnp.float64),
+                k1=jnp.array(4.2, jnp.float64),
+                num_steps=4,
+                tracking_method="drift_kick_drift",
+                name="q_dkd",
+            ),
+            ct.Sextupole(
+                jnp.array(0.2, jnp.float64),
+                k2=jnp.array(30.0, jnp.float64),
+                tracking_method="linear",
+                name="s_lin",
+            ),
+        ],
+        name="methods",
+    )
+    path = tmp_path / "methods.json"
+    segment.to_lattice_json(str(path))
+    restored = ct.Segment.from_lattice_json(str(path), dtype=jnp.float64)
+    assert restored.q_dkd.tracking_method == "drift_kick_drift"
+    assert restored.q_dkd.num_steps == 4
+    assert restored.s_lin.tracking_method == "linear"
+    assert restored == segment

@@ -78,3 +78,37 @@ def test_unique_name_generator():
 def test_merge_element_names():
     assert merge_element_names("d_1", "d_2") == "d_1_2"
     assert merge_element_names("alpha", "beta") == "alpha_beta"
+
+
+def test_cache_transfer_map_alias():
+    """`utils/cache.py` parity shim: identity decorator (caching is jit's job)."""
+    from cheetah_tpu.utils.cache import cache_transfer_map
+
+    def f(x):
+        return x + 1
+
+    assert cache_transfer_map(f) is f
+
+
+def test_remat_compatible_tracking(key):
+    """`jax.checkpoint` (rematerialisation) composes with tracking + grad —
+    the standard TPU memory/FLOPs trade for long lattices."""
+    import jax
+
+    from cheetah_tpu.lattices import ares_ea_subcell
+
+    segment = ares_ea_subcell(jnp.float64)
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=256, energy=jnp.asarray(1.5e8, jnp.float64), key=key
+    )
+
+    def loss(k1, segment, beam):
+        segment.AREAMQZM1.k1 = k1
+        out = segment.track(beam)
+        return jnp.mean(out.x**2 + out.y**2)
+
+    k1 = jnp.asarray(4.2, jnp.float64)
+    plain = jax.grad(loss)(k1, segment, beam)
+    remat = jax.grad(jax.checkpoint(loss, static_argnums=()))(k1, segment, beam)
+    np.testing.assert_allclose(remat, plain, rtol=1e-12)
+    assert jnp.isfinite(plain)
