@@ -82,6 +82,24 @@ class Element:
         elif "tracking_method" in getattr(self, "__pytree_static_fields__", ()):
             self.tracking_method = self.supported_tracking_methods[0]
 
+    def __setattr__(self, key: str, value: Any) -> None:
+        # Validate tracking-method assignment like the reference's property
+        # setter (ref ``element.py:231-259``): warn and fall back to the
+        # first supported method instead of failing later inside ``track``.
+        # Pytree unflatten bypasses this via ``object.__setattr__``.
+        if key == "tracking_method" and value not in self.supported_tracking_methods:
+            warnings.warn(
+                f"Invalid tracking method '{value}' for element "
+                f"{getattr(self, 'name', '?')} of type "
+                f"{self.__class__.__name__}, supported methods are "
+                f"{self.supported_tracking_methods}. Using "
+                f"'{self.supported_tracking_methods[0]}' instead.",
+                category=PhysicsWarning,
+                stacklevel=2,
+            )
+            value = self.supported_tracking_methods[0]
+        object.__setattr__(self, key, value)
+
     # ------------------------------------------------------------------
     # Transfer maps
     # ------------------------------------------------------------------

@@ -41,7 +41,7 @@ class Sextupole(Element):
     tracking_method: str = static_field("second_order")
     metadata: dict = static_field(None)
 
-    supported_tracking_methods = ["second_order", "linear"]
+    supported_tracking_methods = ["linear", "second_order"]
 
     def __init__(
         self,
