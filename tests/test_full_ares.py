@@ -197,3 +197,71 @@ def test_invalid_tracking_method_assignment_warns_and_falls_back():
     with pytest.warns(ct.PhysicsWarning, match="Invalid tracking method"):
         solenoid.set_attrs_on_every_element(tracking_method="drift_kick_drift")
     assert solenoid.sol.tracking_method == "linear"
+
+
+def test_ares_ea_subcell_matches_imported_lattice(ares_segments):
+    """The hand-built ``lattices.ares_ea_subcell`` agrees structurally with
+    the EA subcell of the imported stage-3 lattice (names, types, lengths)."""
+    from cheetah_tpu.lattices import ares_ea_subcell
+
+    segment, _ = ares_segments
+    imported = segment.subcell("AREASOLA1", "AREABSCR1")
+    built = ares_ea_subcell(dtype=jnp.float64, screen=False)
+
+    assert built.element_names == imported.element_names
+    # The final element is the AREABSCR1 position: a Screen in the machine
+    # lattice, a Marker in the lightweight `screen=False` build.
+    for ours, theirs in zip(built.elements[:-1], imported.elements[:-1]):
+        assert type(ours).__name__ == type(theirs).__name__, ours.name
+        if hasattr(theirs, "length"):
+            np.testing.assert_allclose(
+                float(getattr(ours, "length", 0.0)),
+                float(theirs.length),
+                rtol=0,
+                atol=1e-12,
+                err_msg=ours.name,
+            )
+
+
+def test_mutating_element_after_fused_tracking_takes_effect(achip_beams):
+    """No stale-cache hazard (analogue of the reference's
+    ``test_speed_optimizations.py:202`` skippable-reset test): mutate a
+    parameter after a fused ``Segment.track`` and the next track reflects it,
+    identically to a freshly built segment."""
+    beam, _ = achip_beams
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+            ct.Quadrupole(
+                jnp.asarray(0.122, jnp.float64),
+                k1=jnp.asarray(10.0, jnp.float64),
+                name="q",
+            ),
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+        ]
+    )
+    _ = segment.track(beam)  # build/fuse once
+    segment.q.k1 = jnp.asarray(-3.0, jnp.float64)
+    out = segment.track(beam)
+
+    fresh = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+            ct.Quadrupole(
+                jnp.asarray(0.122, jnp.float64),
+                k1=jnp.asarray(-3.0, jnp.float64),
+            ),
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+        ]
+    )
+    np.testing.assert_array_equal(out.particles, fresh.track(beam).particles)
+
+    # Same under jit: the mutated segment enters as an argument, so the new
+    # k1 flows through the cached trace as data.
+    import jax
+
+    jit_track = jax.jit(lambda seg, b: seg.track(b).particles)
+    first = jit_track(segment, beam)
+    segment.q.k1 = jnp.asarray(7.0, jnp.float64)
+    second = jit_track(segment, beam)
+    assert not np.allclose(np.asarray(first), np.asarray(second))
