@@ -29,6 +29,69 @@ class Beam:
     # (ref ``beam.py:34-36``): used for vectorisation-aware stacking.
     UNVECTORIZED_NUM_ATTR_DIMS: dict[str, int] = {}
 
+    # ------------------------------------------------------------------
+    # Abstract interface (ref ``beam.py:38-321``): first/second moments and
+    # constructors that every concrete beam provides. Declared here so the
+    # base class documents the full surface; subclasses override all of
+    # these.
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_parameters(cls, *args, **kwargs) -> "Beam":
+        raise NotImplementedError
+
+    @classmethod
+    def from_twiss(cls, *args, **kwargs) -> "Beam":
+        raise NotImplementedError
+
+    @classmethod
+    def from_ocelot(cls, *args, **kwargs) -> "Beam":
+        raise NotImplementedError
+
+    @classmethod
+    def from_astra(cls, *args, **kwargs) -> "Beam":
+        raise NotImplementedError
+
+    def transformed_to(self, *args, **kwargs) -> "Beam":
+        raise NotImplementedError
+
+    def clone(self) -> "Beam":
+        raise NotImplementedError
+
+    @property
+    def defining_features(self) -> list[str]:
+        raise NotImplementedError
+
+    def _abstract_moment(name: str, doc: str):  # noqa: N805
+        def getter(self):
+            raise NotImplementedError(
+                f"{type(self).__name__} must implement `{name}`."
+            )
+
+        getter.__name__ = name
+        getter.__doc__ = doc
+        return property(getter)
+
+    for _name, _doc in [
+        *[(f"mu_{c}", f"Mean of {c}.") for c in ("x", "px", "y", "py", "tau", "p")],
+        *[
+            (f"sigma_{c}", f"Standard deviation of {c}.")
+            for c in ("x", "px", "y", "py", "tau", "p")
+        ],
+        *[
+            (f"cov_{pair}", f"Covariance between {pair[:-2] or pair[0]}-like pairs.")
+            for pair in (
+                "xpx", "xy", "xpy", "xtau", "xp",
+                "pxy", "pxpy", "pxtau", "pxp",
+                "ypy", "ytau", "yp",
+                "pytau", "pyp",
+                "taup",
+            )
+        ],
+    ]:
+        locals()[_name] = _abstract_moment(_name, _doc)
+    del _name, _doc, _abstract_moment
+
     @property
     def relativistic_gamma(self) -> Array:
         """Reference relativistic gamma of the beam."""
