@@ -346,3 +346,75 @@ def test_lattice_json_preserves_tracking_method(tmp_path):
     assert restored.q_dkd.num_steps == 4
     assert restored.s_lin.tracking_method == "linear"
     assert restored == segment
+
+
+def test_load_reference_ares_lattice_json(key):
+    """The reference's shipped real-world LatticeJSON of the full ARES lattice
+    (``docs/examples/ARESlatticeStage3v1_9.json``) loads directly."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        segment = ct.Segment.from_lattice_json(
+            "/root/reference/docs/examples/ARESlatticeStage3v1_9.json",
+            dtype=jnp.float64,
+        )
+    assert len(segment.elements) == 195
+    np.testing.assert_allclose(float(segment.length), 42.3495, atol=1e-4)
+
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=100,
+        energy=jnp.asarray(1.07e8, jnp.float64),
+        key=key,
+    )
+    out = segment.track(beam)
+    assert np.all(np.isfinite(np.asarray(out.particles)))
+
+
+def test_lattice_json_interop_with_reference(tmp_path, key):
+    """A lattice saved by us loads in the torch reference (and tracks the
+    same), proving the JSON dialect is fully compatible in both directions."""
+    import torch
+    from reference_oracle import ref_particle_beam
+
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.4, jnp.float64), name="d1"),
+            ct.Quadrupole(
+                jnp.asarray(0.122, jnp.float64),
+                k1=jnp.asarray(8.0, jnp.float64),
+                misalignment=jnp.asarray([1e-4, -5e-5], jnp.float64),
+                name="q1",
+            ),
+            ct.Dipole(
+                jnp.asarray(0.3, jnp.float64),
+                angle=jnp.asarray(0.05, jnp.float64),
+                name="b1",
+            ),
+            ct.Cavity(
+                jnp.asarray(1.0, jnp.float64),
+                voltage=jnp.asarray(2e6, jnp.float64),
+                phase=jnp.asarray(20.0, jnp.float64),
+                frequency=jnp.asarray(1.3e9, jnp.float64),
+                name="c1",
+            ),
+        ],
+        name="interop",
+    )
+    path = tmp_path / "interop.json"
+    segment.to_lattice_json(str(path))
+
+    ref_segment = ref.Segment.from_lattice_json(str(path)).to(torch.float64)
+    assert [type(e).__name__ for e in ref_segment.elements] == [
+        "Drift",
+        "Quadrupole",
+        "Dipole",
+        "Cavity",
+    ]
+
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=300, energy=jnp.asarray(1.5e8, jnp.float64), key=key
+    )
+    out = segment.track(beam)
+    ref_out = ref_segment.track(ref_particle_beam(beam))
+    np.testing.assert_allclose(
+        out.particles, to_numpy(ref_out.particles), rtol=1e-9, atol=1e-14
+    )
