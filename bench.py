@@ -19,16 +19,46 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+    """Honest per-step device time over the axon tunnel.
+
+    ``block_until_ready`` is unreliable through the tunnel (see
+    .claude/skills/verify/SKILL.md), so completion is observed by *fetching* a
+    scalar. To keep the ~30-50 ms tunnel round-trip out of the per-step
+    figure, the step is repeated ``n`` times inside one jitted
+    ``lax.fori_loop`` (dynamic trip count -> single compile), and the cost of
+    one step is the slope between n=1 and n=iters. The loop carry perturbs
+    the first input leaf by ~1e-30 so XLA cannot hoist the loop-invariant
+    body out of the loop.
+    """
+    leaves, treedef = jax.tree.flatten(args)
+    dtype = leaves[0].dtype
+
+    @jax.jit
+    def many(n, *flat):
+        def body(_, carry):
+            pert = [flat[0] + carry * jnp.asarray(1e-30, dtype)] + list(flat[1:])
+            out = fn(*jax.tree.unflatten(treedef, pert))
+            first = jax.tree.leaves(out)[0]
+            return jnp.sum(first).astype(dtype) * jnp.asarray(1e-12, dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), dtype))
+
+    def fetch_time(n, repeats=5):
+        float(np.asarray(many(n, *leaves)))  # warm
+        best = np.inf
+        for _ in range(repeats):
+            start = time.perf_counter()
+            float(np.asarray(many(n, *leaves)))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_1 = fetch_time(1)
+    t_n = fetch_time(iters)
+    return max(t_n - t_1, 1e-9) / (iters - 1)
 
 
 def main() -> None:

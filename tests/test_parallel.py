@@ -162,3 +162,73 @@ def test_env_readings(key):
     outgoing, readings, reward = jax.jit(env.step)(settings)
     assert reward.shape == (4,)
     assert readings["bpm1"].shape == (4, 2)
+
+
+def test_vmap_over_beam_batch(key):
+    """`jax.vmap` composes with tracking (beams are pytrees): mapping over a
+    stacked beam axis equals native broadcasting."""
+    import cheetah_tpu as ct
+
+    base = ct.ParticleBeam.from_parameters(
+        num_particles=200, energy=jnp.asarray(1.5e8, jnp.float64), key=key
+    )
+    particles = jnp.stack(
+        [base.particles, base.particles * 1.1, base.particles * 0.9]
+    )
+    stacked = ct.ParticleBeam(
+        particles=particles,
+        energy=base.energy,
+        particle_charges=base.particle_charges,
+        survival_probabilities=base.survival_probabilities,
+        species=base.species,
+    )
+    quad = ct.Quadrupole(jnp.asarray(0.3, jnp.float64), k1=jnp.asarray(4.2, jnp.float64))
+
+    broadcast_out = quad.track(stacked).particles
+
+    def track_one(p):
+        beam = ct.ParticleBeam(
+            particles=p,
+            energy=base.energy,
+            particle_charges=base.particle_charges,
+            survival_probabilities=base.survival_probabilities,
+            species=base.species,
+        )
+        return quad.track(beam).particles
+
+    vmap_out = jax.vmap(track_one)(particles)
+    np.testing.assert_array_equal(np.asarray(broadcast_out), np.asarray(vmap_out))
+
+
+def test_gradient_descent_focuses_beam(key):
+    """End-to-end workflow check: a few Adam-free SGD steps on quadrupole
+    strengths shrink the beam at the end of the EA subcell (the
+    gradientbased.ipynb workflow, jitted)."""
+    import cheetah_tpu as ct
+    from cheetah_tpu.lattices import ares_ea_subcell
+
+    segment = ares_ea_subcell(dtype=jnp.float64)
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=2000,
+        sigma_x=jnp.asarray(2e-4, jnp.float64),
+        sigma_y=jnp.asarray(2e-4, jnp.float64),
+        energy=jnp.asarray(1.54e8, jnp.float64),
+        key=key,
+    )
+
+    def loss_fn(k1s, segment, beam):
+        segment.AREAMQZM1.k1 = k1s[0]
+        segment.AREAMQZM2.k1 = k1s[1]
+        segment.AREAMQZM3.k1 = k1s[2]
+        out = segment.track(beam)
+        return jnp.square(out.sigma_x) + jnp.square(out.sigma_y)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    k1s = jnp.asarray([10.0, -9.0, -8.0], jnp.float64)
+    initial, _ = grad_fn(k1s, segment, beam)
+    for _ in range(60):
+        value, grads = grad_fn(k1s, segment, beam)
+        # Normalised gradient step: robust to the tiny absolute loss scale.
+        k1s = k1s - 0.3 * grads / jnp.linalg.norm(grads)
+    final, _ = grad_fn(k1s, segment, beam)
+    assert float(final) < 0.5 * float(initial), (float(initial), float(final))
