@@ -95,6 +95,29 @@ def main() -> None:
     transports_per_s = num_instances * num_particles * num_elements / dt
     details["env_step_4096x10k_ms"] = dt * 1e3
     details["transports_per_s"] = transports_per_s
+    # The step is HBM-bound on the particle array (one read pass); record the
+    # achieved fraction of the v5e's ~819 GB/s.
+    particle_bytes = num_instances * num_particles * 7 * 4
+    details["env_step_hbm_gbps"] = particle_bytes / dt / 1e9
+
+    # bf16 variant: halves the HBM traffic; physics precision drops to ~0.4%
+    # on beam moments, acceptable for RL reward shaping.
+    import jax.tree_util as jtu
+
+    def to_bf16(tree):
+        return jtu.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == f32
+            else x,
+            tree,
+        )
+
+    segment_bf16, beam_bf16 = to_bf16(segment), to_bf16(beam_10k)
+    dt_bf16 = _timeit(env_step, segment_bf16, beam_bf16)
+    details["env_step_4096x10k_bf16_ms"] = dt_bf16 * 1e3
+    details["transports_per_s_bf16"] = (
+        num_instances * num_particles * num_elements / dt_bf16
+    )
 
     # Config 1: ParameterBeam linear transport.
     parameter_beam = ct.ParameterBeam.from_twiss(

@@ -85,7 +85,21 @@ def cloud_in_cell_charge_deposition(
     num_cells = math.prod(histogram_shape)
 
     if num_cells <= TENSOR_PRODUCT_MAX_CELLS:
-        grid = _deposit_tensor_product(positions, charges, histogram_shape, extent)
+        from cheetah_tpu.ops.pallas_cic import (
+            differentiable_pallas_deposit,
+            pallas_deposit_available,
+        )
+
+        if pallas_deposit_available(histogram_shape) and positions.dtype == jnp.float32:
+            # TPU fast path: two-hot tiles built in VMEM, MXU contraction
+            # (6.4x over the XLA path at 100k particles — PERF_NOTES.md).
+            grid = differentiable_pallas_deposit(tuple(histogram_shape))(
+                positions, charges.astype(jnp.float32), extent
+            )
+        else:
+            grid = _deposit_tensor_product(
+                positions, charges, histogram_shape, extent
+            )
         return grid.reshape(*vector_shape, *histogram_shape)
 
     # Per-dimension bin-space decomposition (ref ``cloud_in_cell.py:408-428``).

@@ -603,16 +603,26 @@ class ParticleBeam(Beam):
             * beam.species.mass_kg
             * constants.speed_of_light
         )
-        p = jnp.sqrt(
-            jnp.square(xp[..., 1]) + jnp.square(xp[..., 3]) + jnp.square(xp[..., 5])
+        # Normalise by p0 before squaring: SI momenta squared underflow
+        # float32 (see `to_xyz_pxpypz`); the p0-relative form is exact.
+        px_rel = xp[..., 1] / p0[..., None]
+        py_rel = xp[..., 3] / p0[..., None]
+        pz_rel = xp[..., 5] / p0[..., None]
+        p_rel = jnp.sqrt(
+            jnp.square(px_rel) + jnp.square(py_rel) + jnp.square(pz_rel)
         )
+        # p / (m c) = (|p|/p0) * gamma0 * beta0.
         gamma = jnp.sqrt(
-            1.0 + jnp.square(p / (beam.species.mass_kg * constants.speed_of_light))
+            1.0
+            + jnp.square(
+                p_rel
+                * (beam.relativistic_gamma * beam.relativistic_beta)[..., None]
+            )
         )
 
         particles = xp
-        particles = particles.at[..., 1].set(xp[..., 1] / p0[..., None])
-        particles = particles.at[..., 3].set(xp[..., 3] / p0[..., None])
+        particles = particles.at[..., 1].set(px_rel)
+        particles = particles.at[..., 3].set(py_rel)
         particles = particles.at[..., 4].set(
             -xp[..., 4] / beam.relativistic_beta[..., None]
         )
@@ -636,12 +646,24 @@ class ParticleBeam(Beam):
             1.0 + self.particles[..., 5] * self.relativistic_beta[..., None]
         )
         beta = jnp.sqrt(1.0 - 1.0 / jnp.square(gamma))
-        momentum = gamma * self.species.mass_kg * beta * constants.speed_of_light
+        # Work in units of p0: SI momenta squared (~1e-39 kg^2 m^2/s^2 for
+        # electrons) underflow float32, which makes sqrt/division *gradients*
+        # NaN. The O(1) ratio |p|/p0 = gamma*beta / (gamma0*beta0) is exact
+        # and f32-safe.
+        rel_momentum = (
+            gamma
+            * beta
+            / (self.relativistic_gamma * self.relativistic_beta)[..., None]
+        )
 
         px = self.particles[..., 1] * p0[..., None]
         py = self.particles[..., 3] * p0[..., None]
         zs = self.particles[..., 4] * -self.relativistic_beta[..., None]
-        pz = jnp.sqrt(jnp.square(momentum) - jnp.square(px) - jnp.square(py))
+        pz = p0[..., None] * jnp.sqrt(
+            jnp.square(rel_momentum)
+            - jnp.square(self.particles[..., 1])
+            - jnp.square(self.particles[..., 3])
+        )
 
         xp = self.particles
         xp = xp.at[..., 1].set(px)
