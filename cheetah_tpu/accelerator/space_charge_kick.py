@@ -279,9 +279,20 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
             # Scatter/gather-free interpolation via two-hot MXU contractions
             # (same trick as the deposit; much faster than 8-corner gathers).
             from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
+            from cheetah_tpu.ops.pallas_cic import (
+                differentiable_pallas_gather,
+                pallas_deposit_available,
+            )
 
             grids = jnp.stack([grad_x, grad_y, grad_tau], axis=1)  # (B, 3, ...)
-            values = cloud_in_cell_gather_3d(grids, normalized)
+            if (
+                pallas_deposit_available(self.grid_shape)
+                and normalized.dtype == jnp.float32
+            ):
+                # TPU fast path: two-hot tiles built in VMEM (PERF_NOTES.md).
+                values = differentiable_pallas_gather()(grids, normalized)
+            else:
+                values = cloud_in_cell_gather_3d(grids, normalized)
             forces = jnp.moveaxis(values, 1, -1) * elementary_charge  # (B, N, 3)
             return forces
 

@@ -137,6 +137,104 @@ def deposit_3d_pallas(
     )
 
 
+def _gather_kernel(pos_ref, g_ref, out_ref, *, nx, ny, nt, chunk):
+    ux_t = _two_hot_t(pos_ref[0:1, :], nx, chunk)  # (nx, chunk)
+    uy_t = _two_hot_t(pos_ref[1:2, :], ny, chunk)  # (ny, chunk)
+    ut_t = _two_hot_t(pos_ref[2:3, :], nt, chunk)  # (nt, chunk)
+
+    lead_t = (ux_t[:, None, :] * uy_t[None, :, :]).reshape(nx * ny, chunk)
+
+    # (C*nt, nx*ny) x (nx*ny, chunk) -> (C*nt, chunk) on the MXU, then
+    # contract the t axis elementwise against the particle t-two-hot.
+    m = jax.lax.dot_general(
+        g_ref[:],
+        lead_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num_components = g_ref.shape[0] // nt
+    m = m.reshape(num_components, nt, chunk)
+    out_ref[:] = jnp.sum(m * ut_t[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_3d_pallas(
+    grids: Array, normalized: Array, interpret: bool = False
+) -> Array:
+    """Pallas trilinear gather: ``grids (B, C, nx, ny, nt)``, bin-space
+    positions ``normalized (B, N, 3)`` -> values ``(B, C, N)`` (float32).
+
+    Semantics identical to ``cloud_in_cell_gather_3d`` (out-of-grid corners
+    contribute zero because no two-hot row matches).
+    """
+    batch, num_components, nx, ny, nt = grids.shape
+    num_lead = nx * ny
+    chunk = _chunk_for(num_lead)
+
+    num_particles = normalized.shape[1]
+    num_chunks = -(-num_particles // chunk)
+    pad = num_chunks * chunk - num_particles
+    if pad:
+        # Park padding at -2: matches no bin row, so gathered value is 0.
+        normalized = jnp.pad(
+            normalized, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0
+        )
+
+    pos_t = jnp.swapaxes(normalized, -1, -2).astype(jnp.float32)  # (B, 3, Np)
+    # (B, C, nx, ny, nt) -> (B, C*nt, nx*ny) with t fastest in rows.
+    g_rows = (
+        jnp.moveaxis(grids, -1, 2)
+        .reshape(batch, num_components * nt, num_lead)
+        .astype(jnp.float32)
+    )
+
+    call = pl.pallas_call(
+        functools.partial(_gather_kernel, nx=nx, ny=ny, nt=nt, chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_components, num_chunks * chunk), jnp.float32
+        ),
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((3, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_components * nt, num_lead),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (num_components, chunk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )
+
+    values = jax.vmap(call)(pos_t, g_rows)  # (B, C, Np)
+    return values[..., :num_particles]
+
+
+@functools.lru_cache(maxsize=None)
+def differentiable_pallas_gather():
+    """Pallas-forward gather with XLA-path derivatives (see
+    :func:`differentiable_pallas_deposit`)."""
+    from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
+
+    @jax.custom_jvp
+    def gather(grids, normalized):
+        return gather_3d_pallas(grids, normalized)
+
+    @gather.defjvp
+    def gather_jvp(primals, tangents):
+        out = gather(*primals)
+        _, tangent_out = jax.jvp(
+            lambda g, n: cloud_in_cell_gather_3d(g, n).astype(jnp.float32),
+            primals,
+            tangents,
+        )
+        return out, tangent_out
+
+    return gather
+
+
 def pallas_deposit_available(histogram_shape) -> bool:
     """The kernel handles 3D grids whose (nx*ny, nt) accumulator fits VMEM."""
     return (

@@ -205,3 +205,26 @@ def test_space_charge_gradient_finite_in_float32(key):
     )
     grad_f64 = jax.grad(loss)(jnp.asarray(0.2, jnp.float64), segment64, beam64)
     np.testing.assert_allclose(float(grad_f32), float(grad_f64), rtol=0.1)
+
+
+def test_pallas_gather_matches_xla_path():
+    """The Pallas gather kernel equals `cloud_in_cell_gather_3d` (interpret
+    mode), including out-of-grid positions contributing zero."""
+    from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
+    from cheetah_tpu.ops.pallas_cic import gather_3d_pallas
+
+    grids = jax.random.normal(
+        jax.random.key(3), (2, 3, 16, 16, 8), jnp.float32
+    )
+    normalized = jax.random.uniform(
+        jax.random.key(4),
+        (2, 3000, 3),
+        jnp.float32,
+        minval=-1.0,
+        maxval=jnp.asarray([16.0, 16.0, 8.0], jnp.float32),
+    )
+    expected = cloud_in_cell_gather_3d(grids, normalized)
+    actual = gather_3d_pallas(grids, normalized, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected, np.float32), atol=1e-5
+    )
