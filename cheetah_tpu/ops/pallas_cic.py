@@ -37,6 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 # Keep the (nx*ny, chunk) lead tile at or under ~4 MB of VMEM.
 _LEAD_TILE_BYTES = 4 * 1024 * 1024
 
+# Escape hatch: set False to force the XLA two-hot path everywhere (e.g. to
+# rule the kernels out while debugging, or on multi-chip meshes where the
+# GSPMD partitioner treats pallas_call as an opaque custom call — shard the
+# particle axis with shard_map around the kick, or disable this, in that
+# case). Single-chip behaviour is identical either way up to f32
+# accumulation order.
+ENABLED = True
+
 
 def _chunk_for(num_lead_cells: int) -> int:
     chunk = _LEAD_TILE_BYTES // (4 * num_lead_cells)
@@ -238,7 +246,8 @@ def differentiable_pallas_gather():
 def pallas_deposit_available(histogram_shape) -> bool:
     """The kernel handles 3D grids whose (nx*ny, nt) accumulator fits VMEM."""
     return (
-        len(histogram_shape) == 3
+        ENABLED
+        and len(histogram_shape) == 3
         and math.prod(histogram_shape) <= 65536
         and jax.default_backend() == "tpu"
     )
