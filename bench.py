@@ -125,7 +125,14 @@ def main() -> None:
         beta_y=jnp.asarray(3.0, f32), emittance_y=jnp.asarray(2e-9, f32),
         energy=jnp.asarray(1.54e8, f32), dtype=f32,
     )
-    dt = _timeit(jax.jit(lambda s, b: s.track(b).sigma_x), segment, parameter_beam)
+    # Sub-millisecond workload: use a longer fori-loop span so the slope is
+    # not dominated by tunnel jitter.
+    dt = _timeit(
+        jax.jit(lambda s, b: s.track(b).sigma_x),
+        segment,
+        parameter_beam,
+        iters=200,
+    )
     details["parameter_beam_4096_env_step_ms"] = dt * 1e3
 
     # Reference CI workload: 100k particles + active CIC screen readout

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the two-hot cloud-in-cell deposit.
+"""Pallas TPU kernels for the two-hot cloud-in-cell deposit and gather.
 
 The XLA formulation in :mod:`cheetah_tpu.ops.cloud_in_cell` materialises the
 ``(chunk, nx*ny)`` two-hot matrix in HBM because XLA does not fuse elementwise
