@@ -179,7 +179,7 @@ def test_track_with_readings_under_jit(key):
         xs = jnp.arange(image.shape[-1], dtype=image.dtype)
         return jnp.sum(image * xs) / jnp.sum(image)
 
-    grad = jax.grad(centroid)(jnp.array(3.0, jnp.float64), segment, beam)
+    grad = jax.jit(jax.grad(centroid))(jnp.array(3.0, jnp.float64), segment, beam)
     assert np.isfinite(grad) and abs(float(grad)) > 0
 
 

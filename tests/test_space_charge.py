@@ -125,7 +125,7 @@ def test_space_charge_differentiable(key):
         segment.elements[1].effect_length = effect_length
         return segment.track(beam).sigma_px
 
-    grad = jax.grad(loss)(jnp.array(0.5, jnp.float64), segment, beam)
+    grad = jax.jit(jax.grad(loss))(jnp.array(0.5, jnp.float64), segment, beam)
     assert np.isfinite(grad) and abs(float(grad)) > 0
 
 
@@ -185,7 +185,7 @@ def test_space_charge_gradient_finite_in_float32(key):
         segment.elements[1].effect_length = effect_length
         return jnp.sum(jnp.square(segment.track(beam).px))
 
-    grad_f32 = jax.grad(loss)(jnp.asarray(0.2, dtype), segment, beam)
+    grad_f32 = jax.jit(jax.grad(loss))(jnp.asarray(0.2, dtype), segment, beam)
     assert jnp.isfinite(grad_f32), grad_f32
 
     # Same computation in float64 agrees to f32 pipeline accuracy.
@@ -203,7 +203,7 @@ def test_space_charge_gradient_finite_in_float32(key):
             ct.Drift(jnp.asarray(0.1, jnp.float64)),
         ]
     )
-    grad_f64 = jax.grad(loss)(jnp.asarray(0.2, jnp.float64), segment64, beam64)
+    grad_f64 = jax.jit(jax.grad(loss))(jnp.asarray(0.2, jnp.float64), segment64, beam64)
     np.testing.assert_allclose(float(grad_f32), float(grad_f64), rtol=0.1)
 
 

@@ -213,7 +213,7 @@ def test_gradient_through_tracking(key):
         out = segment.track(beam)
         return out.sigma_x
 
-    grad = jax.grad(loss)(jnp.array(-3.1, jnp.float64), segment, beam)
+    grad = jax.jit(jax.grad(loss))(jnp.array(-3.1, jnp.float64), segment, beam)
     assert np.isfinite(grad)
 
     eps = 1e-5

@@ -108,7 +108,7 @@ def test_remat_compatible_tracking(key):
         return jnp.mean(out.x**2 + out.y**2)
 
     k1 = jnp.asarray(4.2, jnp.float64)
-    plain = jax.grad(loss)(k1, segment, beam)
-    remat = jax.grad(jax.checkpoint(loss, static_argnums=()))(k1, segment, beam)
+    plain = jax.jit(jax.grad(loss))(k1, segment, beam)
+    remat = jax.jit(jax.grad(jax.checkpoint(loss, static_argnums=())))(k1, segment, beam)
     np.testing.assert_allclose(remat, plain, rtol=1e-12)
     assert jnp.isfinite(plain)
