@@ -58,3 +58,18 @@ def ares_ea_subcell(dtype=jnp.float32, screen: bool = False) -> Segment:
     else:
         elements.append(Marker(name="AREABSCR1"))
     return Segment(elements, name="ARES_EA")
+
+
+def ares_stage3(dtype=jnp.float32) -> Segment:
+    """The complete 195-element ARES linear accelerator (stage 3) at DESY.
+
+    Vendored as a LatticeJSON in ``cheetah_tpu/resources`` (converted from
+    the public ``ARESlatticeStage3v1_9`` Ocelot description with this
+    package's Ocelot importer; ref ``tests/resources/ARESlatticeStage3v1_9.py``).
+    Matches the reference's benchmark lattice
+    (``tests/test_benchmark.py:29-36``) element for element.
+    """
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "resources" / "ares_stage3.json"
+    return Segment.from_lattice_json(str(path), dtype=dtype)

@@ -265,3 +265,19 @@ def test_mutating_element_after_fused_tracking_takes_effect(achip_beams):
     segment.q.k1 = jnp.asarray(7.0, jnp.float64)
     second = jit_track(segment, beam)
     assert not np.allclose(np.asarray(first), np.asarray(second))
+
+
+def test_vendored_ares_stage3_matches_ocelot_import():
+    """`lattices.ares_stage3()` (the vendored LatticeJSON) is identical to a
+    fresh Ocelot import of the same machine."""
+    from cheetah_tpu.lattices import ares_stage3
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        imported = ct.Segment.from_ocelot(
+            _load_ares_cell(), name="ares_stage3", dtype=jnp.float64
+        )
+    vendored = ares_stage3(dtype=jnp.float64)
+    assert vendored.element_names == imported.element_names
+    for ours, theirs in zip(vendored.elements, imported.elements):
+        assert ours == theirs, ours.name
