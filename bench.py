@@ -163,6 +163,19 @@ def main() -> None:
     )
     details["space_charge_100k_ms"] = dt * 1e3
 
+    # The reference's own benchmark workload (tests/test_benchmark.py): the
+    # complete 195-element ARES stage-3 lattice, linear tracking.
+    from cheetah_tpu.lattices import ares_stage3
+
+    # Fused linear tracking collapses the machine to ~9 runs over 2.8 MB of
+    # particles, i.e. tens of microseconds per step — needs a long span for
+    # the slope to clear the tunnel jitter.
+    ares = ares_stage3(dtype=f32)
+    dt = _timeit(
+        jax.jit(lambda s, b: s.track(b).particles), ares, beam_100k, iters=1000
+    )
+    details["ares_full_lattice_100k_ms"] = dt * 1e3
+
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 
