@@ -281,12 +281,31 @@ class Screen(ZeroLengthMixin, Element):
                         "The `'histogram'` method of `Screen` does not support "
                         "vectorization. Use `'kde'` instead."
                     )
-                image, _, _ = jnp.histogram2d(
-                    x,
-                    y,
-                    bins=self.pixel_bin_edges,
-                    weights=weights,
+                # Uniform-grid histogram via bucketize + segment_sum: 4x
+                # faster than jnp.histogram2d on TPU (PERF_NOTES.md). Matches
+                # histogram2d's edge semantics: the right-most edge is
+                # included in the last bin.
+                edges_x, edges_y = self.pixel_bin_edges
+                nbx, nby = edges_x.shape[0] - 1, edges_y.shape[0] - 1
+                ix = jnp.floor(
+                    (x - edges_x[0]) / (edges_x[1] - edges_x[0])
+                ).astype(jnp.int32)
+                iy = jnp.floor(
+                    (y - edges_y[0]) / (edges_y[1] - edges_y[0])
+                ).astype(jnp.int32)
+                inside = (
+                    (x >= edges_x[0])
+                    & (x <= edges_x[-1])
+                    & (y >= edges_y[0])
+                    & (y <= edges_y[-1])
                 )
+                ix = jnp.clip(ix, 0, nbx - 1)
+                iy = jnp.clip(iy, 0, nby - 1)
+                image = jax.ops.segment_sum(
+                    weights * inside,
+                    ix * nby + iy,
+                    num_segments=nbx * nby,
+                ).reshape(nbx, nby)
                 return image.T
             elif self.method == "kde":
                 image = kde_histogram_2d(
