@@ -47,7 +47,11 @@ def test_every_element_subclass_has_a_case():
 
     def collect(cls):
         for sub in cls.__subclasses__():
-            if not inspect.isabstract(sub):
+            # Only the library's own elements are enforced; user-defined
+            # subclasses (e.g. the docs-test examples) are out of scope.
+            if not inspect.isabstract(sub) and sub.__module__.startswith(
+                "cheetah_tpu"
+            ):
                 all_subclasses.add(sub.__name__)
             collect(sub)
 
