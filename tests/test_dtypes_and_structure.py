@@ -95,3 +95,37 @@ def test_equality_distinguishes_parameters():
     assert a != b
     assert a == c
     assert a != ct.Drift(jnp.array(0.3, jnp.float64))
+
+
+def test_bfloat16_tracking_moment_accuracy(key):
+    """bfloat16 tracking (half the HBM traffic on TPU) keeps beam moments
+    within ~1% of float32 — the accuracy bound quoted in PERF_NOTES.md for
+    RL reward shaping."""
+    import jax
+
+    from cheetah_tpu.lattices import ares_ea_subcell
+
+    beam32 = ct.ParticleBeam.from_parameters(
+        num_particles=10_000,
+        sigma_x=jnp.asarray(2e-4, jnp.float32),
+        sigma_y=jnp.asarray(2e-4, jnp.float32),
+        energy=jnp.asarray(1.54e8, jnp.float32),
+        key=key,
+        dtype=jnp.float32,
+    )
+    seg32 = ares_ea_subcell(dtype=jnp.float32)
+
+    to_bf16 = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+    out32 = seg32.track(beam32)
+    out16 = to_bf16(seg32).track(to_bf16(beam32))
+
+    assert out16.particles.dtype == jnp.bfloat16
+    for attr in ("sigma_x", "sigma_y", "mu_x", "mu_y"):
+        v32 = float(getattr(out32, attr))
+        v16 = float(getattr(out16, attr).astype(jnp.float32))
+        assert abs(v16 - v32) <= max(0.01 * abs(v32), 5e-6), (attr, v32, v16)
