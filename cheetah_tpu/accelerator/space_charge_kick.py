@@ -25,6 +25,7 @@ TPU-design notes vs. the reference:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -46,6 +47,15 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
     :param grid_extent_y: Grid half-extent in y as a multiple of sigma_y.
     :param grid_extent_tau: Grid half-extent in tau as a multiple of
         sigma_tau.
+    :param particle_axis: Name of a ``shard_map`` mesh axis over which the
+        beam's particle dimension is sharded (static). When set, the kick
+        performs its cross-shard collectives explicitly: the grid-sizing
+        beam moments and the deposited charge grid are ``psum``-reduced over
+        the axis, while the Poisson solve is replicated and the force gather
+        stays local. This is the multi-chip path that composes with the
+        Pallas kernels (GSPMD cannot partition ``pallas_call``); under plain
+        GSPMD sharding leave it ``None`` and XLA derives the same
+        collectives for the XLA code path.
     :param name: Unique identifier of the element.
     """
 
@@ -55,6 +65,7 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
     grid_extent_tau: Array
     name: str = static_field(None)
     grid_shape: tuple = static_field((32, 32, 32))
+    particle_axis: str = static_field(None)
     metadata: dict = static_field(None)
 
     def __init__(
@@ -64,6 +75,7 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         grid_extent_x: Array | None = None,
         grid_extent_y: Array | None = None,
         grid_extent_tau: Array | None = None,
+        particle_axis: str | None = None,
         name: str | None = None,
         sanitize_name: bool | None = None,
         metadata: dict | None = None,
@@ -72,6 +84,7 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         self.effect_length = as_float_array(effect_length, dtype=dtype)
         dtype = self.effect_length.dtype
         self.grid_shape = tuple(grid_shape)
+        self.particle_axis = particle_axis
         self.grid_extent_x = as_float_array(
             grid_extent_x if grid_extent_x is not None else 3.0, dtype=dtype
         )
@@ -86,6 +99,23 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
     @property
     def is_skippable(self) -> bool:
         return False
+
+    def _global_weighted_std(self, values: Array, weights: Array) -> Array:
+        """Unbiased weighted std over the LOCAL particle axis combined with a
+        ``psum`` over ``self.particle_axis`` — the moment-sum form of
+        ``utils.statistics.unbiased_weighted_std``, exact up to rounding."""
+        sums = jnp.stack(
+            [
+                jnp.sum(weights, axis=-1),
+                jnp.sum(weights * values, axis=-1),
+                jnp.sum(weights * jnp.square(values), axis=-1),
+                jnp.sum(jnp.square(weights), axis=-1),
+            ]
+        )
+        sw, swx, swx2, sw2 = jax.lax.psum(sums, self.particle_axis)
+        mean = swx / sw
+        correction = sw - sw2 / sw
+        return jnp.sqrt((swx2 - sw * jnp.square(mean)) / correction)
 
     # ------------------------------------------------------------------
     # Green function
@@ -179,6 +209,10 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
             extent=jnp.stack([-grid_dimensions, grid_dimensions], axis=-1),
             charges=beam.particle_charges * beam.survival_probabilities,
         )
+        if self.particle_axis is not None:
+            # Explicit shard_map collective: each shard deposited its local
+            # particles; the physical grid is the sum over shards.
+            charge_grid = jax.lax.psum(charge_grid, self.particle_axis)
         inv_cell_volume = 1.0 / jnp.prod(cell_size, axis=-1)
         charge_density = charge_grid * inv_cell_volume[..., None, None, None]
 
@@ -373,12 +407,24 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         effect_length = jnp.broadcast_to(self.effect_length, vector_shape).reshape(-1)
 
         # Grid geometry from the actual beam sigmas (traced extents, static
-        # shapes).
+        # shapes). Under shard_map (``particle_axis``) the sigmas must be the
+        # GLOBAL beam moments, so every shard sizes the same grid.
+        if self.particle_axis is not None:
+            sigma_x, sigma_y, sigma_tau = (
+                self._global_weighted_std(
+                    values, flattened.survival_probabilities
+                )
+                for values in (flattened.x, flattened.y, flattened.tau)
+            )
+        else:
+            sigma_x = flattened.sigma_x
+            sigma_y = flattened.sigma_y
+            sigma_tau = flattened.sigma_tau
         grid_dimensions = jnp.stack(
             [
-                self.grid_extent_x * flattened.sigma_x,
-                self.grid_extent_y * flattened.sigma_y,
-                self.grid_extent_tau * flattened.sigma_tau,
+                self.grid_extent_x * sigma_x,
+                self.grid_extent_y * sigma_y,
+                self.grid_extent_tau * sigma_tau,
             ],
             axis=-1,
         )

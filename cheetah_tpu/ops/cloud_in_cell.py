@@ -218,9 +218,13 @@ def _deposit_tensor_product(
         jnp.moveaxis(frac.reshape(batch, num_chunks, chunk, num_dims), 1, 0),
         jnp.moveaxis(masked_charges.reshape(batch, num_chunks, chunk), 1, 0),
     )
-    grid, _ = jax.lax.scan(
-        body, jnp.zeros((batch, lead_cells, last_cells), dtype), slabs
+    # The init carry inherits device-variance from the charges (a plain
+    # zeros init is rejected by shard_map's varying-axes check when the
+    # particle axis is sharded; the x*0 term is traced as varying).
+    init = jnp.zeros((batch, lead_cells, last_cells), dtype) + (
+        masked_charges[..., :1, None] * 0
     )
+    grid, _ = jax.lax.scan(body, init, slabs)
     return grid.reshape(batch, *histogram_shape)
 
 

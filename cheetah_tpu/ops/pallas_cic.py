@@ -38,11 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LEAD_TILE_BYTES = 4 * 1024 * 1024
 
 # Escape hatch: set False to force the XLA two-hot path everywhere (e.g. to
-# rule the kernels out while debugging, or on multi-chip meshes where the
-# GSPMD partitioner treats pallas_call as an opaque custom call — shard the
-# particle axis with shard_map around the kick, or disable this, in that
-# case). Single-chip behaviour is identical either way up to f32
-# accumulation order.
+# rule the kernels out while debugging). On multi-chip meshes the GSPMD
+# partitioner treats pallas_call as an opaque custom call — use
+# ``SpaceChargeKick(particle_axis=...)`` inside ``shard_map`` there (the
+# kick's explicit-collective mode), or disable this. Single-chip behaviour
+# is identical either way up to f32 accumulation order.
 ENABLED = True
 
 

@@ -232,3 +232,63 @@ def test_gradient_descent_focuses_beam(key):
         k1s = k1s - 0.3 * grads / jnp.linalg.norm(grads)
     final, _ = grad_fn(k1s, segment, beam)
     assert float(final) < 0.5 * float(initial), (float(initial), float(final))
+
+
+def test_shard_map_space_charge_matches_unsharded(key):
+    """The explicit-collective path (``particle_axis``): the kick inside
+    ``shard_map`` with the particle dimension sharded over 8 devices equals
+    the unsharded kick. This is the composition path for the Pallas kernels
+    on real multi-chip meshes (GSPMD cannot partition pallas_call)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    import cheetah_tpu as ct
+
+    num_particles = 4000  # divisible by 8
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=num_particles,
+        sigma_x=jnp.asarray(1.7e-4, jnp.float64),
+        sigma_y=jnp.asarray(1.7e-4, jnp.float64),
+        sigma_tau=jnp.asarray(1e-5, jnp.float64),
+        sigma_p=jnp.asarray(1e-3, jnp.float64),
+        total_charge=jnp.asarray(1e-9, jnp.float64),
+        energy=jnp.asarray(1.5e8, jnp.float64),
+        key=key,
+    )
+
+    plain_kick = ct.SpaceChargeKick(
+        jnp.asarray(0.25, jnp.float64), grid_shape=(8, 8, 8)
+    )
+    expected = plain_kick.track(beam).particles
+
+    mesh = Mesh(np.array(jax.devices()), ("particles",))
+    sharded_kick = ct.SpaceChargeKick(
+        jnp.asarray(0.25, jnp.float64),
+        grid_shape=(8, 8, 8),
+        particle_axis="particles",
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("particles", None), P("particles"), P("particles")),
+        out_specs=P("particles", None),
+    )
+    def kicked_shard(particles, charges, survival):
+        local = ct.ParticleBeam(
+            particles=particles,
+            energy=beam.energy,
+            particle_charges=charges,
+            survival_probabilities=survival,
+            species=beam.species,
+        )
+        return sharded_kick.track(local).particles
+
+    actual = kicked_shard(
+        beam.particles, beam.particle_charges, beam.survival_probabilities
+    )
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(expected), rtol=1e-12, atol=1e-18
+    )
