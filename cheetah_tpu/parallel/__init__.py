@@ -1,3 +1,9 @@
+from cheetah_tpu.parallel.distributed import (
+    initialize,
+    make_hybrid_mesh,
+    make_process_local_array,
+    process_local_beam,
+)
 from cheetah_tpu.parallel.env import BatchedLatticeEnv
 from cheetah_tpu.parallel.sharding import (
     beam_shardings,
@@ -10,7 +16,11 @@ from cheetah_tpu.parallel.sharding import (
 __all__ = [
     "BatchedLatticeEnv",
     "beam_shardings",
+    "initialize",
+    "make_hybrid_mesh",
     "make_mesh",
+    "make_process_local_array",
+    "process_local_beam",
     "replicate",
     "shard_beam",
     "shard_segment",
