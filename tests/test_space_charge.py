@@ -228,3 +228,98 @@ def test_pallas_gather_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected, np.float32), atol=1e-5
     )
+
+
+def test_pallas_deposit_vjp_matches_xla_path():
+    """The custom_vjp backward pass (Pallas gather-grads kernel) produces the
+    same cotangents as differentiating the XLA tensor-product deposit —
+    positions, charges AND extent (interpret mode)."""
+    from cheetah_tpu.ops.cloud_in_cell import _deposit_tensor_product
+    from cheetah_tpu.ops.pallas_cic import differentiable_pallas_deposit
+
+    shape = (8, 16, 8)
+    pos = jax.random.normal(jax.random.key(11), (2, 700, 3), jnp.float32) * 2.0
+    charges = jax.random.uniform(jax.random.key(12), (2, 700), jnp.float32)
+    extent = jnp.broadcast_to(
+        jnp.asarray([[-3.0, 3.1], [-2.9, 3.0], [-3.0, 3.0]], jnp.float32),
+        (2, 3, 2),
+    )
+    # A non-uniform weighting so every grid cell has a distinct cotangent.
+    weights = jax.random.normal(jax.random.key(13), shape, jnp.float32)
+
+    def loss_pallas(p, c, e):
+        grid = differentiable_pallas_deposit(shape, True)(p, c, e)
+        return jnp.sum(grid * weights)
+
+    def loss_xla(p, c, e):
+        grid = _deposit_tensor_product(p, c, list(shape), e)
+        return jnp.sum(grid * weights)
+
+    grads_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(pos, charges, extent)
+    grads_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(pos, charges, extent)
+    for got, want, label in zip(
+        grads_pallas, grads_xla, ["positions", "charges", "extent"]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5, err_msg=label
+        )
+
+
+def test_pallas_gather_vjp_matches_xla_path():
+    """The gather custom_vjp (deposit-of-cotangents + derivative-two-hot
+    kernels) matches differentiating the XLA gather (interpret mode)."""
+    from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
+    from cheetah_tpu.ops.pallas_cic import differentiable_pallas_gather
+
+    grids = jax.random.normal(jax.random.key(21), (2, 3, 8, 8, 8), jnp.float32)
+    normalized = jax.random.uniform(
+        jax.random.key(22),
+        (2, 900, 3),
+        jnp.float32,
+        minval=-1.0,
+        maxval=9.0,
+    )
+    weights = jax.random.normal(jax.random.key(23), (2, 3, 900), jnp.float32)
+
+    def loss_pallas(g, n):
+        return jnp.sum(differentiable_pallas_gather(True)(g, n) * weights)
+
+    def loss_xla(g, n):
+        return jnp.sum(cloud_in_cell_gather_3d(g, n) * weights)
+
+    grads_pallas = jax.grad(loss_pallas, argnums=(0, 1))(grids, normalized)
+    grads_xla = jax.grad(loss_xla, argnums=(0, 1))(grids, normalized)
+    for got, want, label in zip(grads_pallas, grads_xla, ["grids", "normalized"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5, err_msg=label
+        )
+
+
+def test_pallas_gather_grads_kernel_value_matches_gather():
+    """The combined gather+grads kernel's value output equals the plain
+    gather kernel, and its derivative outputs match finite differences."""
+    from cheetah_tpu.ops.pallas_cic import (
+        gather_3d_pallas,
+        gather_grads_3d_pallas,
+    )
+
+    grids = jax.random.normal(jax.random.key(31), (1, 2, 8, 8, 8), jnp.float32)
+    normalized = jax.random.uniform(
+        jax.random.key(32), (1, 400, 3), jnp.float32, minval=0.3, maxval=6.7
+    )
+    val, dx, dy, dt = gather_grads_3d_pallas(grids, normalized, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(val),
+        np.asarray(gather_3d_pallas(grids, normalized, interpret=True)),
+        atol=1e-6,
+    )
+    # Central finite differences (h well away from bin boundaries).
+    h = 1e-3
+    for axis, grad in [(0, dx), (1, dy), (2, dt)]:
+        delta = jnp.zeros((1, 1, 3), jnp.float32).at[..., axis].set(h)
+        plus = gather_3d_pallas(grids, normalized + delta, interpret=True)
+        minus = gather_3d_pallas(grids, normalized - delta, interpret=True)
+        fd = (np.asarray(plus) - np.asarray(minus)) / (2 * h)
+        np.testing.assert_allclose(
+            np.asarray(grad), fd, rtol=5e-3, atol=5e-3, err_msg=f"axis {axis}"
+        )
