@@ -20,7 +20,9 @@ class Screen(ZeroLengthMixin, Element):
 
     Image generation methods (ref ``screen.py:24-29``):
 
-    - ``"histogram"``: fastest, non-differentiable, unvectorised only.
+    - ``"histogram"``: fastest; vectorised (unlike the reference, which
+      raises on vector dims); piecewise-constant in positions so position
+      gradients are zero (weights/charges gradients flow).
     - ``"cloud-in-cell"`` (default): differentiable, vectorised, ~1.5x
       histogram cost.
     - ``"kde"``: differentiable, vectorised, smooth but much more expensive.
@@ -276,17 +278,20 @@ class Screen(ZeroLengthMixin, Element):
                 read_beam.x, read_beam.y, weights
             )
             if self.method == "histogram":
-                if x.ndim > 1:
-                    raise NotImplementedError(
-                        "The `'histogram'` method of `Screen` does not support "
-                        "vectorization. Use `'kde'` instead."
-                    )
                 # Uniform-grid histogram via bucketize + segment_sum: 4x
                 # faster than jnp.histogram2d on TPU (PERF_NOTES.md). Matches
                 # histogram2d's edge semantics: the right-most edge is
-                # included in the last bin.
+                # included in the last bin. Vectorises over arbitrary leading
+                # dims with a per-instance segment offset (the reference's
+                # histogram path raises on vector dims, ``screen.py:291-339``).
                 edges_x, edges_y = self.pixel_bin_edges
                 nbx, nby = edges_x.shape[0] - 1, edges_y.shape[0] - 1
+                batch_shape = x.shape[:-1]
+                num_particles = x.shape[-1]
+                x = x.reshape(-1, num_particles)
+                y = y.reshape(-1, num_particles)
+                flat_weights = weights.reshape(-1, num_particles)
+                batch = x.shape[0]
                 ix = jnp.floor(
                     (x - edges_x[0]) / (edges_x[1] - edges_x[0])
                 ).astype(jnp.int32)
@@ -301,12 +306,15 @@ class Screen(ZeroLengthMixin, Element):
                 )
                 ix = jnp.clip(ix, 0, nbx - 1)
                 iy = jnp.clip(iy, 0, nby - 1)
+                offsets = (
+                    jnp.arange(batch, dtype=jnp.int32)[:, None] * (nbx * nby)
+                )
                 image = jax.ops.segment_sum(
-                    weights * inside,
-                    ix * nby + iy,
-                    num_segments=nbx * nby,
-                ).reshape(nbx, nby)
-                return image.T
+                    (flat_weights * inside).reshape(-1),
+                    (offsets + ix * nby + iy).reshape(-1),
+                    num_segments=batch * nbx * nby,
+                ).reshape(*batch_shape, nbx, nby)
+                return jnp.swapaxes(image, -1, -2)
             elif self.method == "kde":
                 image = kde_histogram_2d(
                     x1=x,

@@ -217,3 +217,49 @@ def test_superimposed(key):
         out.particles, to_numpy(ref_out.particles), rtol=1e-9, atol=1e-15
     )
     np.testing.assert_allclose(superimposed.length, 0.4, rtol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["histogram", "kde", "cloud-in-cell"])
+def test_screen_vectorized_all_methods(method, key):
+    """A (3, 2)-batched beam produces a (3, 2, height, width) image in every
+    method, and each batch entry equals the corresponding scalar run. The
+    reference's histogram path raises on vector dims (``screen.py:291-339``);
+    the batch-offset segment_sum formulation removes that restriction."""
+    mu_x = jnp.asarray(
+        [[-2e-4, -1e-4], [0.0, 1e-4], [2e-4, 3e-4]], jnp.float64
+    )
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1500,
+        mu_x=mu_x,
+        sigma_x=jnp.array(3e-4, jnp.float64),
+        sigma_y=jnp.array(2e-4, jnp.float64),
+        energy=jnp.array(1.5e8, jnp.float64),
+        key=key,
+    )
+    screen = ct.Screen(
+        resolution=(32, 24),
+        pixel_size=jnp.asarray([8e-5, 6e-5], jnp.float64),
+        method=method,
+        is_active=True,
+        misalignment=jnp.asarray([1e-5, -2e-5], jnp.float64),
+    )
+
+    image = screen.observe(beam)
+    assert image.shape == (3, 2, 24, 32)
+
+    for i in range(3):
+        for j in range(2):
+            single = ct.ParticleBeam(
+                particles=beam.particles[i, j],
+                energy=beam.energy,
+                particle_charges=beam.particle_charges,
+                survival_probabilities=beam.survival_probabilities,
+                species=beam.species,
+            )
+            np.testing.assert_allclose(
+                image[i, j],
+                screen.observe(single),
+                rtol=1e-9,
+                atol=1e-15,
+                err_msg=f"{method} [{i},{j}]",
+            )
