@@ -43,6 +43,21 @@ def pytest_report_header(config):
     return f"seed: {config.getoption('--seed')}"
 
 
+def pytest_collection_modifyitems(config, items):
+    """``standalone``-marked tests (strict wall-clock guards) only run when
+    explicitly selected with ``-m standalone`` — inside the full suite, host
+    pressure from hundreds of compiled programs makes their timing budgets
+    meaningless."""
+    if "standalone" in config.getoption("-m", default=""):
+        return
+    skip = pytest.mark.skip(
+        reason="strict timing guard; run explicitly with -m standalone"
+    )
+    for item in items:
+        if "standalone" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def seed_random_generators(request):
     """Seed all global RNGs for reproducibility (report seed in header)."""

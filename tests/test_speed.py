@@ -7,6 +7,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import cheetah_tpu as ct
 from cheetah_tpu.lattices import ares_ea_subcell
@@ -50,13 +51,37 @@ def test_track_100k_with_screen_under_100ms(key):
     elapsed = min(timings)
 
     # Standalone this runs in 40-95 ms, satisfying the reference's 0.1 s CI
-    # budget; inside the full suite, host memory pressure from hundreds of
-    # compiled programs can inflate the wall clock, so the guard allows 3x
-    # headroom to stay deterministic.
-    # Standalone measurement is 40-95 ms; the margin absorbs full-suite
-    # memory/CPU pressure (grew again with the executable-docs tests).
+    # budget (enforced by the `standalone`-marked guard below); inside the
+    # full suite, host memory pressure from hundreds of compiled programs can
+    # inflate the wall clock, so this always-on guard allows headroom to stay
+    # deterministic.
     assert elapsed < 0.5, f"Tracking took {elapsed:.3f} s (limit 0.5 s)"
     assert image.shape == (2040, 2448)
+
+
+@pytest.mark.standalone
+def test_track_100k_with_screen_reference_budget(key):
+    """The reference's exact CI budget (< 0.1 s, ``tests/test_speed.py:14-35``)
+    asserted strictly. Skipped inside the full suite (suite pressure corrupts
+    wall-clock guards); run with ``pytest -m standalone``."""
+    segment = ares_ea_subcell(dtype=jnp.float64, screen=True)
+    beam = make_beam(key)
+
+    @jax.jit
+    def track_and_read(segment, beam):
+        _, readings = segment.track_with_readings(beam)
+        return readings["AREABSCR1"]
+
+    jax.block_until_ready(track_and_read(segment, beam))
+
+    timings = []
+    for _ in range(5):
+        start = time.perf_counter()
+        jax.block_until_ready(track_and_read(segment, beam))
+        timings.append(time.perf_counter() - start)
+    elapsed = min(timings)
+
+    assert elapsed < 0.1, f"Tracking took {elapsed:.3f} s (limit 0.1 s)"
 
 
 def test_merged_segment_is_equivalent_and_not_slower(key):
