@@ -3,7 +3,9 @@
 from __future__ import annotations
 
 import math
+import warnings
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -14,6 +16,7 @@ from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.maths import log1pdiv
 from cheetah_tpu.utils.physics import compute_relativistic_factors
 from cheetah_tpu.utils.pytree import as_float_array, pytree_dataclass, static_field
+from cheetah_tpu.utils.warnings import PhysicsWarning
 
 
 def _safe(x: Array, bad: Array) -> Array:
@@ -35,16 +38,26 @@ class Cavity(Element):
       (``cavity.py:157``); here the branch is selected *per vector instance*
       with ``jnp.where`` and guarded denominators, which matches the
       reference for uniform batches and is well-defined for mixed ones.
-    - ``is_skippable`` is ``False`` regardless of voltage (the reference uses
-      the runtime value, ``cavity.py:86-92``): an inactive cavity's R-matrix
-      degenerates to the drift map, so only a fusion opportunity is lost, not
-      correctness.
+    - ``is_skippable`` is ``False`` regardless of voltage by default (the
+      reference uses the runtime value, ``cavity.py:86-92``): an inactive
+      cavity's R-matrix degenerates to the drift map, so only a fusion
+      opportunity is lost, not correctness. Opt back into the reference's
+      fusion with ``skippable_when_off=True``: the cavity then reports itself
+      skippable whenever its voltage is a *concrete* zero at partition time
+      (under tracing it stays conservative, i.e. non-skippable). Note the
+      reference's own fused track deviates ~4e-8 from its element-wise track
+      for exactly this case (see ``tests/test_full_ares.py``) because the
+      bespoke ``track`` recomputes the energy spread even at zero voltage;
+      the flag trades that tiny deviation for fusion speed.
 
     Known model limitation (shared with the reference, verified numerically):
     at zero-crossing phase (``phase = +-90 deg``) the standing-wave ``r55``
     term ``tan(phi) (...) / dE`` blows up (``~1e18``) because ``cos(phi)`` is
-    only floating-point zero, producing non-finite tracking output. Operate
-    cavities away from exact zero-crossing, or with ``voltage = 0``.
+    only floating-point zero, producing non-finite tracking output. A
+    :class:`PhysicsWarning` is emitted when an active standing-wave cavity is
+    configured within 1e-3 deg of a zero crossing (when the values are
+    concrete — traced values cannot be inspected). Operate cavities away from
+    exact zero-crossing, or with ``voltage = 0``.
 
     :param length: Length in m.
     :param voltage: Cavity voltage in V (positive accelerates electron-like
@@ -61,6 +74,7 @@ class Cavity(Element):
     frequency: Array
     name: str = static_field(None)
     cavity_type: str = static_field("standing_wave")
+    skippable_when_off: bool = static_field(False)
     metadata: dict = static_field(None)
 
     def __init__(
@@ -70,6 +84,7 @@ class Cavity(Element):
         phase: Array | None = None,
         frequency: Array | None = None,
         cavity_type: str = "standing_wave",
+        skippable_when_off: bool = False,
         name: str | None = None,
         sanitize_name: bool | None = None,
         metadata: dict | None = None,
@@ -86,7 +101,40 @@ class Cavity(Element):
             f"Invalid cavity type: {cavity_type}"
         )
         self.cavity_type = cavity_type
+        self.skippable_when_off = skippable_when_off
         self._init_element(name, sanitize_name, metadata)
+        self._warn_if_zero_crossing()
+
+    def _warn_if_zero_crossing(self) -> None:
+        """Warn when an active standing-wave cavity sits at a zero-crossing
+        phase, where the r55 model is known-wrong (class docstring). Only
+        possible for concrete values; traced values are left alone."""
+        # getattr: during __init__, voltage/phase assignments run before
+        # cavity_type exists; the explicit end-of-init check covers that.
+        if getattr(self, "cavity_type", None) != "standing_wave":
+            return
+        voltage, phase = self.voltage, self.phase
+        if isinstance(voltage, jax.core.Tracer) or isinstance(phase, jax.core.Tracer):
+            return
+        at_crossing = (jnp.abs(jnp.mod(phase, 180.0) - 90.0) < 1e-3) & (
+            voltage != 0
+        )
+        if bool(jnp.any(at_crossing)):
+            warnings.warn(
+                f"Cavity {getattr(self, 'name', '?')} is at a zero-crossing "
+                "phase (+-90 deg) with non-zero voltage: the standing-wave "
+                "r55 model is numerically invalid there (non-finite tracking "
+                "output). Offset the phase or set voltage to zero.",
+                category=PhysicsWarning,
+                stacklevel=3,
+            )
+
+    def __setattr__(self, key: str, value) -> None:
+        super().__setattr__(key, value)
+        # Re-check the zero-crossing guard on live reconfiguration, once the
+        # instance is fully constructed (both attributes exist).
+        if key in ("voltage", "phase") and hasattr(self, "voltage") and hasattr(self, "phase"):
+            self._warn_if_zero_crossing()
 
     @property
     def is_active(self) -> bool:
@@ -94,7 +142,15 @@ class Cavity(Element):
 
     @property
     def is_skippable(self) -> bool:
-        return False  # Static for jit-safety; see class docstring.
+        # Static False by default for jit-safety (see class docstring);
+        # `skippable_when_off` opts into the reference's runtime behaviour
+        # (ref cavity.py:86-92) when the voltage is concrete at partition
+        # time. Under tracing the conservative answer keeps jit valid.
+        if not self.skippable_when_off:
+            return False
+        if isinstance(self.voltage, jax.core.Tracer):
+            return False
+        return bool(jnp.all(self.voltage == 0))
 
     def first_order_transfer_map(self, energy: Array, species: Species) -> Array:
         return self._cavity_rmatrix(energy, species)
@@ -349,4 +405,7 @@ class Cavity(Element):
             "phase",
             "frequency",
             "cavity_type",
+            # Only when enabled: default cavities keep a schema the reference
+            # loader accepts (LatticeJSON interop); the flag is an extension.
+            *(["skippable_when_off"] if self.skippable_when_off else []),
         ]

@@ -4,6 +4,7 @@ fusion equivalence, jit, grad, vectorisation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from reference_oracle import ref, ref_parameter_beam, ref_particle_beam, to_numpy, torch
 
 import cheetah_tpu as ct
@@ -318,3 +319,119 @@ def test_split_drift():
     splits = drift.split(jnp.array(0.3, jnp.float64))
     assert len(splits) == 4
     np.testing.assert_allclose(sum(s.length for s in splits), 1.0, rtol=1e-12)
+
+
+def test_cavity_zero_crossing_warns():
+    """An active standing-wave cavity at phase +-90 deg hits the known-wrong
+    r55 model (class docstring) and must emit a PhysicsWarning — at
+    construction and on live reconfiguration."""
+    import warnings as _warnings
+
+    from cheetah_tpu.utils.warnings import PhysicsWarning
+
+    with pytest.warns(PhysicsWarning, match="zero-crossing"):
+        ct.Cavity(
+            length=jnp.array(1.0),
+            voltage=jnp.array(1e6),
+            phase=jnp.array(90.0),
+            frequency=jnp.array(1.3e9),
+        )
+    with pytest.warns(PhysicsWarning, match="zero-crossing"):
+        ct.Cavity(
+            length=jnp.array(1.0),
+            voltage=jnp.array(1e6),
+            phase=jnp.array(-90.0),
+            frequency=jnp.array(1.3e9),
+        )
+
+    # Away from the crossing, or at zero voltage: silent.
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", PhysicsWarning)
+        cavity = ct.Cavity(
+            length=jnp.array(1.0),
+            voltage=jnp.array(1e6),
+            phase=jnp.array(30.0),
+            frequency=jnp.array(1.3e9),
+        )
+        ct.Cavity(
+            length=jnp.array(1.0),
+            voltage=jnp.array(0.0),
+            phase=jnp.array(90.0),
+            frequency=jnp.array(1.3e9),
+        )
+
+    # Reconfiguring onto the crossing warns too.
+    with pytest.warns(PhysicsWarning, match="zero-crossing"):
+        cavity.phase = jnp.array(90.0)
+
+
+def test_cavity_skippable_when_off(key):
+    """`skippable_when_off=True` lets a zero-voltage cavity fuse with its
+    neighbours (recovering the reference's cavity.py:86-92 fusion); with
+    voltage applied, or under tracing, it stays non-skippable."""
+    drift = ct.Drift(jnp.array(0.5))
+    cavity_off = ct.Cavity(
+        length=jnp.array(1.0),
+        voltage=jnp.array(0.0),
+        phase=jnp.array(0.0),
+        frequency=jnp.array(1.3e9),
+        skippable_when_off=True,
+    )
+    assert cavity_off.is_skippable
+    cavity_on = ct.Cavity(
+        length=jnp.array(1.0),
+        voltage=jnp.array(1e6),
+        phase=jnp.array(0.0),
+        frequency=jnp.array(1.3e9),
+        skippable_when_off=True,
+    )
+    assert not cavity_on.is_skippable
+    assert not ct.Cavity(
+        length=jnp.array(1.0), voltage=jnp.array(0.0)
+    ).is_skippable  # Default stays statically non-skippable.
+
+    segment = ct.Segment([drift, cavity_off, drift])
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.array(1e-4, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    # The whole segment fuses into a single skippable run...
+    assert segment.is_skippable
+    merged = segment.transfer_maps_merged(incoming_beam=beam)
+    assert len(merged.elements) == 1
+    # ...and fused tracking is bit-identical to the unfused track of the
+    # same segment (both use the cavity's linear map once it is skippable).
+    np.testing.assert_allclose(
+        merged.track(beam).particles,
+        segment.track(beam).particles,
+        rtol=1e-14,
+        atol=1e-18,
+    )
+    # Against a *default* (bespoke-track) off cavity the fused result shows
+    # only the documented tiny model deviation (the bespoke track recomputes
+    # the energy spread even at zero voltage; see tests/test_full_ares.py).
+    bespoke = ct.Segment(
+        [
+            drift,
+            ct.Cavity(
+                length=jnp.array(1.0),
+                voltage=jnp.array(0.0),
+                phase=jnp.array(0.0),
+                frequency=jnp.array(1.3e9),
+            ),
+            drift,
+        ]
+    ).track(beam)
+    np.testing.assert_allclose(
+        merged.track(beam).particles,
+        bespoke.particles,
+        rtol=2e-4,
+        atol=5e-9,
+    )
+
+    # Under jit with the segment as a pytree argument (voltage traced), the
+    # conservative non-skippable answer keeps tracing valid.
+    out = jax.jit(lambda s, b: s.track(b).sigma_x)(segment, beam)
+    assert jnp.isfinite(out)
