@@ -12,7 +12,7 @@ import pytest
 import cheetah_tpu as ct
 from cheetah_tpu.utils.bmadx import bmad_to_cheetah_z_pz, cheetah_to_bmad_coords
 
-BMAD_RESOURCES = pathlib.Path("/root/reference/tests/resources/bmad")
+BMAD_RESOURCES = pathlib.Path(__file__).parent / "resources" / "bmad"
 
 pytestmark = pytest.mark.skipif(
     not BMAD_RESOURCES.is_dir(), reason="Bmad ground-truth resources unavailable"

@@ -9,10 +9,12 @@ import numpy as np
 import pytest
 from reference_oracle import ref, ref_particle_beam, to_numpy
 
+import pathlib
+
 import cheetah_tpu as ct
 from cheetah_tpu.converters.expressions import evaluate_infix, evaluate_rpn
 
-RESOURCES = "/root/reference/tests/resources"
+RESOURCES = str(pathlib.Path(__file__).parent / "resources")
 
 
 # ----------------------------------------------------------------------
@@ -354,7 +356,7 @@ def test_load_reference_ares_lattice_json(key):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         segment = ct.Segment.from_lattice_json(
-            "/root/reference/docs/examples/ARESlatticeStage3v1_9.json",
+            f"{RESOURCES}/ARESlatticeStage3v1_9.json",
             dtype=jnp.float64,
         )
     assert len(segment.elements) == 195

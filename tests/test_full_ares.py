@@ -17,15 +17,21 @@ import types
 import warnings
 
 import jax.numpy as jnp
+import pathlib
+
 import numpy as np
 import pytest
 from reference_oracle import ref, to_numpy
 
 import cheetah_tpu as ct
 
-ARES_LATTICE_PATH = "/root/reference/tests/resources/ARESlatticeStage3v1_9.py"
-ACHIP_BEAM_PATH = (
-    "/root/reference/tests/resources/ACHIP_EA1_2021.1351.001_subsampled_3000.pkl"
+ARES_LATTICE_PATH = str(
+    pathlib.Path(__file__).parent / "resources" / "ARESlatticeStage3v1_9.py"
+)
+ACHIP_BEAM_PATH = str(
+    pathlib.Path(__file__).parent
+    / "resources"
+    / "ACHIP_EA1_2021.1351.001_subsampled_3000.pkl"
 )
 
 
