@@ -60,12 +60,132 @@ ELEMENT_CASES = [
     ("Screen", {"is_active": True}, True),
     ("Screen", {"is_active": True, "is_blocking": True}, True),
     # CustomTransferMap, Segment, Superimposed and SpaceChargeKick are covered
-    # by dedicated tests (constructors take elements/matrices, not scalars).
+    # by dedicated tests (constructors take elements/matrices, not scalars)
+    # and by COMPOSITE_CASES golden files below.
     ("CustomTransferMap", None, False),
     ("Segment", None, False),
     ("Superimposed", None, False),
     ("SpaceChargeKick", None, False),
+    # Round-2 corpus extensions (appended so existing golden indices stay
+    # stable).
+    ("Dipole", {"length": 0.5, "angle": 0.2, "gap": 0.02,
+                "fringe_integral": 0.4, "fringe_at": "entrance"}, True),
+    ("Dipole", {"length": 0.5, "angle": 0.2, "gap": 0.02,
+                "fringe_integral": 0.4, "fringe_at": "exit"}, True),
+    ("Quadrupole", {"length": 0.3, "k1": -7.0, "tilt": 0.1,
+                    "misalignment": [1e-4, -2e-4], "num_steps": 2,
+                    "tracking_method": "drift_kick_drift"}, True),
+    ("Cavity", {"length": 1.0, "voltage": 5e6, "phase": -120.0,
+                "frequency": 1.3e9}, True),
+    ("TransverseDeflectingCavity", {"length": 0.6, "voltage": 2e6,
+                                    "phase": 0.4, "frequency": 2.9e9}, True),
+    ("Solenoid", {"length": 0.4, "k": -1.5}, True),
+    ("RBend", {"length": 0.5, "angle": -0.15, "gap": 0.01,
+               "fringe_integral": 0.3}, True),
+    ("Undulator", {"length": 1.5, "period": 0.03, "kx": 0.9, "ky": 0.9}, True),
 ]
+
+
+# Composite golden cases: elements/lattices whose constructors take elements
+# or matrices, plus ParameterBeam-tracked variants. Each entry is a name plus
+# a pair of builders producing the same structure in both frameworks
+# (extends the corpus per round-1 verdict: SpaceChargeKick, Superimposed,
+# CustomTransferMap, nested Segment, ParameterBeam variants).
+# ``beam`` selects the incoming beam: "particle" (default), "charged"
+# (particle beam with 1 nC total charge — needed by space charge) or
+# "parameter" (Gaussian-moments beam; golden file stores mu/cov).
+
+# A fixed affine map: drift-like with small coupling and kick entries (rows
+# keep the [.., 0, 1] bottom structure required by CustomTransferMap).
+CUSTOM_TM = [
+    [1.0, 0.5, 0.0, 0.01, 0.0, 0.0, 1e-4],
+    [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 2e-5],
+    [0.0, 0.01, 1.0, 0.5, 0.0, 0.0, -1e-4],
+    [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1e-5],
+    [0.0, 0.0, 0.0, 0.0, 1.0, 0.1, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+]
+
+
+def _composite_builders(module, array):
+    """Shared composite-case constructors; ``module`` is either cheetah_tpu
+    or the torch reference, ``array`` the matching tensor factory."""
+    return {
+        "CustomTransferMap": lambda: module.CustomTransferMap(
+            predefined_transfer_map=array(CUSTOM_TM), length=array(0.5)
+        ),
+        "Superimposed": lambda: module.Superimposed(
+            base_element=module.Quadrupole(length=array(0.3), k1=array(4.2)),
+            superimposed_element=module.HorizontalCorrector(
+                length=array(0.0), angle=array(2e-4)
+            ),
+        ),
+        "Segment_nested": lambda: module.Segment(
+            [
+                module.Drift(array(0.3)),
+                module.Segment(
+                    [
+                        module.Quadrupole(length=array(0.2), k1=array(-3.0)),
+                        module.Drift(array(0.25)),
+                    ]
+                ),
+                module.Dipole(length=array(0.4), angle=array(0.1)),
+            ]
+        ),
+        "SpaceChargeKick_segment": lambda: module.Segment(
+            [
+                module.Drift(array(0.25)),
+                module.SpaceChargeKick(array(0.5), grid_shape=(8, 8, 8)),
+                module.Drift(array(0.25)),
+            ]
+        ),
+        "Cavity_active": lambda: module.Cavity(
+            length=array(1.0),
+            voltage=array(5e6),
+            phase=array(30.0),
+            frequency=array(1.3e9),
+        ),
+        "Segment_linear": lambda: module.Segment(
+            [
+                module.Drift(array(0.5)),
+                module.Quadrupole(length=array(0.3), k1=array(5.0)),
+                module.Drift(array(0.5)),
+                module.VerticalCorrector(length=array(0.1), angle=array(-2e-4)),
+            ]
+        ),
+    }
+
+
+# (name, beam_kind)
+COMPOSITE_CASES = [
+    ("CustomTransferMap", "particle"),
+    ("Superimposed", "particle"),
+    ("Segment_nested", "particle"),
+    ("SpaceChargeKick_segment", "charged"),
+    ("CustomTransferMap", "parameter"),
+    ("Segment_nested", "parameter"),
+    ("Cavity_active", "parameter"),
+    ("Segment_linear", "parameter"),
+]
+
+
+def build_jax_composite(name: str):
+    import jax.numpy as jnp
+
+    import cheetah_tpu as ct
+
+    return _composite_builders(
+        ct, lambda v: jnp.asarray(v, jnp.float64)
+    )[name]()
+
+
+def build_ref_composite(name: str):
+    from reference_oracle import ref, torch
+
+    return _composite_builders(
+        ref, lambda v: torch.tensor(v, dtype=torch.float64)
+    )[name]()
 
 
 def build_jax_element(class_name: str, spec: dict):

@@ -58,7 +58,12 @@ def main() -> None:
     )
     np.savez_compressed(RESOURCES / "incoming.npz", particles=particles)
 
-    from element_zoo import ELEMENT_CASES, build_ref_element
+    from element_zoo import (
+        COMPOSITE_CASES,
+        ELEMENT_CASES,
+        build_ref_composite,
+        build_ref_element,
+    )
 
     incoming = reference_incoming()
     for index, (class_name, spec, parity) in enumerate(ELEMENT_CASES):
@@ -76,6 +81,58 @@ def main() -> None:
             s=outgoing.s.detach().numpy(),
         )
         print(f"wrote {index:03d}_{class_name}.npz")
+
+    # Composite cases (verdict round 1): SpaceChargeKick, Superimposed,
+    # CustomTransferMap, nested Segment, ParameterBeam-tracked variants.
+    import torch
+
+    import cheetah as ref
+
+    for name, beam_kind in COMPOSITE_CASES:
+        element = build_ref_composite(name)
+        if beam_kind == "parameter":
+            beam = ref.ParameterBeam.from_parameters(
+                mu_x=torch.tensor(1e-4),
+                mu_px=torch.tensor(-2e-5),
+                sigma_x=torch.tensor(1.7e-4),
+                sigma_px=torch.tensor(4e-6),
+                sigma_y=torch.tensor(1.7e-4),
+                sigma_py=torch.tensor(4e-6),
+                sigma_tau=torch.tensor(1e-5),
+                sigma_p=torch.tensor(1e-3),
+                cov_xpx=torch.tensor(1e-10),
+                energy=torch.tensor(ENERGY),
+                total_charge=torch.tensor(1e-9),
+            )
+            outgoing = element.track(beam)
+            np.savez_compressed(
+                RESOURCES / f"composite_{name}_{beam_kind}.npz",
+                mu=outgoing.mu.detach().numpy(),
+                cov=outgoing.cov.detach().numpy(),
+                energy=outgoing.energy.detach().numpy(),
+                s=outgoing.s.detach().numpy(),
+            )
+        else:
+            beam = reference_incoming()
+            if beam_kind == "charged":
+                beam = ref.ParticleBeam(
+                    particles=beam.particles,
+                    energy=beam.energy,
+                    particle_charges=torch.full(
+                        (NUM_PARTICLES,), 1e-9 / NUM_PARTICLES
+                    ),
+                )
+            outgoing = element.track(beam)
+            np.savez_compressed(
+                RESOURCES / f"composite_{name}_{beam_kind}.npz",
+                particles=outgoing.particles.detach().numpy(),
+                energy=outgoing.energy.detach().numpy(),
+                survival_probabilities=(
+                    outgoing.survival_probabilities.detach().numpy()
+                ),
+                s=outgoing.s.detach().numpy(),
+            )
+        print(f"wrote composite_{name}_{beam_kind}.npz")
 
 
 if __name__ == "__main__":

@@ -11,7 +11,12 @@ import pathlib
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from element_zoo import ELEMENT_CASES, build_jax_element
+from element_zoo import (
+    COMPOSITE_CASES,
+    ELEMENT_CASES,
+    build_jax_composite,
+    build_jax_element,
+)
 
 import cheetah_tpu as ct
 
@@ -66,3 +71,70 @@ def test_golden_consistency(index, class_name, spec):
         atol=0,
     )
     np.testing.assert_allclose(outgoing.s, golden["s"], rtol=1e-12, atol=1e-15)
+
+
+def test_composite_corpus_is_complete():
+    for name, beam_kind in COMPOSITE_CASES:
+        assert (RESOURCES / f"composite_{name}_{beam_kind}.npz").is_file(), (
+            f"missing golden file for composite case {name}/{beam_kind}; "
+            "regenerate with generate_consistency_corpus.py"
+        )
+
+
+@pytest.mark.parametrize(
+    "name,beam_kind", COMPOSITE_CASES, ids=[f"{n}-{b}" for n, b in COMPOSITE_CASES]
+)
+def test_golden_consistency_composite(name, beam_kind):
+    """Composite golden cases: CustomTransferMap, Superimposed, nested
+    Segment, space-charge segment (charged beam), and ParameterBeam-tracked
+    variants (round-1 verdict corpus extension)."""
+    element = build_jax_composite(name)
+    golden = np.load(RESOURCES / f"composite_{name}_{beam_kind}.npz")
+
+    if beam_kind == "parameter":
+        beam = ct.ParameterBeam.from_parameters(
+            mu_x=jnp.asarray(1e-4, jnp.float64),
+            mu_px=jnp.asarray(-2e-5, jnp.float64),
+            sigma_x=jnp.asarray(1.7e-4, jnp.float64),
+            sigma_px=jnp.asarray(4e-6, jnp.float64),
+            sigma_y=jnp.asarray(1.7e-4, jnp.float64),
+            sigma_py=jnp.asarray(4e-6, jnp.float64),
+            sigma_tau=jnp.asarray(1e-5, jnp.float64),
+            sigma_p=jnp.asarray(1e-3, jnp.float64),
+            cov_xpx=jnp.asarray(1e-10, jnp.float64),
+            energy=jnp.asarray(1.5e8, jnp.float64),
+            total_charge=jnp.asarray(1e-9, jnp.float64),
+        )
+        outgoing = element.track(beam)
+        np.testing.assert_allclose(
+            outgoing.mu, golden["mu"], rtol=1e-8, atol=1e-14, err_msg=name
+        )
+        np.testing.assert_allclose(
+            outgoing.cov, golden["cov"], rtol=1e-8, atol=1e-18, err_msg=name
+        )
+        np.testing.assert_allclose(outgoing.energy, golden["energy"], rtol=1e-12)
+        np.testing.assert_allclose(outgoing.s, golden["s"], rtol=1e-12, atol=1e-15)
+        return
+
+    beam = make_incoming()
+    if beam_kind == "charged":
+        beam = ct.ParticleBeam(
+            particles=beam.particles,
+            energy=beam.energy,
+            particle_charges=jnp.full(
+                (beam.particles.shape[-2],), 1e-9 / beam.particles.shape[-2],
+                jnp.float64,
+            ),
+        )
+    outgoing = element.track(beam)
+    np.testing.assert_allclose(
+        outgoing.particles, golden["particles"], rtol=1e-8, atol=1e-14,
+        err_msg=name,
+    )
+    np.testing.assert_allclose(outgoing.energy, golden["energy"], rtol=1e-12)
+    np.testing.assert_allclose(
+        outgoing.survival_probabilities,
+        golden["survival_probabilities"],
+        rtol=1e-12,
+        atol=0,
+    )
