@@ -10,6 +10,11 @@ Unlike the reference, which routes ``cos(sqrt(x))``-style terms through complex
 arithmetic for negative ``x`` (``autograd.py:127``), we use the real-valued
 even/odd extensions ``cos``/``cosh`` and ``sinc``/``sinch`` — branch-free
 elementwise VPU code with no complex support required.
+
+Coverage: 8 of the reference's 9 primitives. The ninth,
+``sicoskuddelmuddel15mdiv`` (``autograd.py:330-404``), is unused by the
+reference's own physics (nothing calls it) and is deliberately not
+implemented here.
 """
 
 from __future__ import annotations
