@@ -67,6 +67,64 @@ def benchmark(
     }
 
 
+def timeit_slope(
+    fn: Callable,
+    *args,
+    iters: int = 20,
+    repeats: int = 5,
+    min_delta: float = 0.0,
+    max_iters: int = 200_000,
+) -> float:
+    """Honest per-step device time, robust to tunneled backends.
+
+    ``block_until_ready`` is unreliable through remote tunnels (see
+    ``.claude/skills/verify/SKILL.md``), so completion is observed by
+    *fetching* a scalar. To keep the tunnel round-trip (~30-50 ms) out of the
+    per-step figure, the step is repeated ``n`` times inside one jitted
+    ``lax.fori_loop`` (dynamic trip count -> single compile), and the cost of
+    one step is the slope between ``n=1`` and ``n=iters``. The loop carry
+    perturbs the first input leaf by ~1e-30 so XLA cannot hoist the
+    loop-invariant body out of the loop.
+
+    :param min_delta: When > 0, grow the loop span (x10) until
+        ``t_n - t_1 >= min_delta`` seconds, so sub-microsecond workloads are
+        not drowned by fetch jitter (the failure mode behind an earlier bogus
+        5e-9 ms record in ``bench_details.json``).
+    :return: Seconds per step.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(args)
+    dtype = leaves[0].dtype
+
+    @jax.jit
+    def many(n, *flat):
+        def body(_, carry):
+            pert = [flat[0] + carry * jnp.asarray(1e-30, dtype)] + list(flat[1:])
+            out = fn(*jax.tree.unflatten(treedef, pert))
+            first = jax.tree.leaves(out)[0]
+            return jnp.sum(first).astype(dtype) * jnp.asarray(1e-12, dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), dtype))
+
+    def fetch_time(n):
+        float(np.asarray(many(n, *leaves)))  # Warm/compile.
+        best = np.inf
+        for _ in range(repeats):
+            start = time.perf_counter()
+            float(np.asarray(many(n, *leaves)))
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t_1 = fetch_time(1)
+    n = iters
+    t_n = fetch_time(n)
+    while min_delta > 0 and (t_n - t_1) < min_delta and n * 10 <= max_iters:
+        n *= 10
+        t_n = fetch_time(n)
+    return max(t_n - t_1, 1e-9) / (n - 1)
+
+
 def compiled_stats(fn: Callable, *args) -> dict[str, float]:
     """FLOP and memory estimates from the compiled executable's cost
     analysis."""

@@ -1,0 +1,307 @@
+"""One-shot benchmark of every PERF_NOTES workload.
+
+Produces the single source of truth for performance claims: every number in
+``PERF_NOTES.md``, ``BASELINE.md`` and ``README.md`` comes from one run of
+this script, written to ``bench_details.json`` (plus an optional
+``customSmallerIsBetter`` array for CI via ``--output``).
+
+Workloads (TPU backend; ``--backend cpu`` runs a reduced CPU-comparable
+subset for CI runners):
+
+- RL env step, 4096 instances x 10k particles x 13 elements, f32 and bf16,
+  with achieved-HBM-roofline fractions.
+- ParameterBeam env step (same lattice, moments-only transport).
+- 100k particles + screen readout, per method (histogram / cloud-in-cell at
+  full 2448x2040 resolution, KDE at binning 8).
+- Space-charge kick (drift-kick-drift segment, 32^3 grid) at 100k and 1M
+  particles, Pallas kernels vs the XLA two-hot path, forward AND
+  value_and_grad (the custom_vjp adjoints keep the backward pass on-kernel).
+- CIC deposit microbenchmark, 100k and 1M, Pallas vs XLA.
+- Full 195-element ARES stage-3 lattice, 100k particles.
+
+Timing: fori-loop slope method (``cheetah_tpu.utils.profiling.timeit_slope``)
+— the only honest timer over the axon TPU tunnel; adaptive span for
+sub-microsecond workloads.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+HBM_GBPS = {"tpu": 819.0}  # v5e peak HBM bandwidth
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--backend", default=None, choices=[None, "cpu", "tpu"])
+    parser.add_argument("--output", default=None, help="CI array-format JSON path")
+    parser.add_argument("--only", default=None, help="substring filter on workload names")
+    args = parser.parse_args()
+
+    if args.backend == "cpu":
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    import cheetah_tpu as ct
+    from cheetah_tpu.lattices import ares_ea_subcell, ares_stage3
+    from cheetah_tpu.ops import pallas_cic
+    from cheetah_tpu.utils.profiling import timeit_slope as _timeit_slope
+
+    def timeit_slope(fn, *a, iters=20, min_delta=0.15, **kw):
+        # Every workload must clear the tunnel-fetch jitter (~15 ms): grow
+        # the loop span until t_n - t_1 >= 150 ms. Without this, 1-10 ms
+        # workloads at short spans return jitter, not device time (bogus
+        # 0.21 ms / 0.0000 ms space-charge "gradients" in earlier runs).
+        if jax.default_backend() != "tpu":
+            min_delta = 0.0  # CPU fetches are honest; no jitter floor
+        return _timeit_slope(fn, *a, iters=iters, min_delta=min_delta, **kw)
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    cpu_mode = not on_tpu
+    f32 = jnp.float32
+    details = {"backend": backend}
+
+    def record(name, seconds, roofline_bytes=None):
+        details[f"{name}_ms"] = seconds * 1e3
+        if roofline_bytes is not None and backend in HBM_GBPS:
+            details[f"{name}_hbm_pct"] = round(
+                roofline_bytes / seconds / 1e9 / HBM_GBPS[backend] * 100, 1
+            )
+        print(f"{name}: {seconds * 1e3:.4f} ms", flush=True)
+
+    def wants(name):
+        return args.only is None or args.only in name
+
+    def make_beam(num_particles):
+        return ct.ParticleBeam.from_twiss(
+            num_particles=num_particles,
+            beta_x=jnp.asarray(5.0, f32),
+            alpha_x=jnp.asarray(-1.0, f32),
+            emittance_x=jnp.asarray(2e-9, f32),
+            beta_y=jnp.asarray(3.0, f32),
+            alpha_y=jnp.asarray(0.5, f32),
+            emittance_y=jnp.asarray(2e-9, f32),
+            energy=jnp.asarray(1.54e8, f32),
+            total_charge=jnp.asarray(1e-10, f32),
+            key=jax.random.PRNGKey(0),
+            dtype=f32,
+        )
+
+    # ------------------------------------------------------------------
+    # Env step (headline) + bf16 + ParameterBeam
+    # ------------------------------------------------------------------
+    num_instances = 4096 if on_tpu else 64
+    num_particles = 10_000 if on_tpu else 1_000
+    segment = ares_ea_subcell(dtype=f32)
+    segment.AREAMQZM1.k1 = jnp.linspace(-20, 20, num_instances, dtype=f32)
+    num_elements = len(segment.elements)
+    beam_10k = make_beam(num_particles)
+    env_step = jax.jit(lambda seg, beam: seg.track(beam).sigma_x)
+
+    env_name = f"env_step_{num_instances}x{num_particles // 1000}k"
+    if wants("env_step"):
+        dt = timeit_slope(env_step, segment, beam_10k)
+        record(env_name, dt, roofline_bytes=num_instances * num_particles * 7 * 4)
+        details["transports_per_s"] = num_instances * num_particles * num_elements / dt
+
+        def to_bf16(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == f32
+                else x,
+                tree,
+            )
+
+        dt_bf16 = timeit_slope(env_step, to_bf16(segment), to_bf16(beam_10k))
+        record(
+            env_name + "_bf16",
+            dt_bf16,
+            roofline_bytes=num_instances * num_particles * 7 * 2,
+        )
+        details["transports_per_s_bf16"] = (
+            num_instances * num_particles * num_elements / dt_bf16
+        )
+
+    if wants("parameter_beam"):
+        parameter_beam = ct.ParameterBeam.from_twiss(
+            beta_x=jnp.asarray(5.0, f32),
+            emittance_x=jnp.asarray(2e-9, f32),
+            beta_y=jnp.asarray(3.0, f32),
+            emittance_y=jnp.asarray(2e-9, f32),
+            energy=jnp.asarray(1.54e8, f32),
+            dtype=f32,
+        )
+        # Tens-of-microseconds workload: adaptive span so the slope clears
+        # tunnel jitter (fixed-span timing once produced a bogus 5e-9 ms).
+        dt = timeit_slope(
+            jax.jit(lambda s, b: s.track(b).sigma_x),
+            segment,
+            parameter_beam,
+            iters=200,
+        )
+        record(f"parameter_beam_{num_instances}_env_step", dt)
+
+    # ------------------------------------------------------------------
+    # Screen readout methods, 100k particles
+    # ------------------------------------------------------------------
+    n_screen = 100_000 if on_tpu else 10_000
+    beam_100k = make_beam(n_screen)
+    screen_iters = 10 if on_tpu else 3
+    for method, binning in [("histogram", 1), ("cloud-in-cell", 1), ("kde", 8)]:
+        name = f"track_{n_screen // 1000}k_screen_{method.replace('-', '_')}"
+        if binning > 1:
+            name += f"_binning{binning}"
+        if not wants("screen") and not wants(name):
+            continue
+        seg = ares_ea_subcell(dtype=f32, screen=True)
+        scr = seg.AREABSCR1
+        scr.method = method
+        scr.binning = binning
+
+        @jax.jit
+        def track_and_read(seg, beam):
+            _, readings = seg.track_with_readings(beam)
+            return readings["AREABSCR1"]
+
+        record(name, timeit_slope(track_and_read, seg, beam_100k, iters=screen_iters))
+
+    # ------------------------------------------------------------------
+    # Space charge: forward and gradient, Pallas vs XLA
+    # ------------------------------------------------------------------
+    def sc_segment():
+        return ct.Segment(
+            [
+                ct.Drift(jnp.asarray(0.1, f32)),
+                ct.SpaceChargeKick(jnp.asarray(0.2, f32)),
+                ct.Drift(jnp.asarray(0.1, f32)),
+                ct.SpaceChargeKick(jnp.asarray(0.2, f32)),
+                ct.Drift(jnp.asarray(0.1, f32)),
+            ]
+        )
+
+    sc_fwd = jax.jit(lambda s, b: s.track(b).particles)
+
+    # Differentiate w.r.t. the FIRST drift length: it moves the particles
+    # that feed the deposit, so the whole deposit->FFT->gather pipeline is in
+    # the differentiated path and cannot be hoisted out of the timing loop
+    # (differentiating only effect_length lets XLA hoist everything but the
+    # final momentum scale, which once produced a bogus 0.2 ms "gradient").
+    def sc_loss(drift_length, s, b):
+        s.elements[0].length = drift_length
+        return jnp.sum(jnp.square(s.track(b).px))
+
+    sc_grad = jax.jit(jax.value_and_grad(sc_loss))
+    el = jnp.asarray(0.1, f32)
+
+    sc_sizes = [(100_000, "100k", 10), (1_000_000, "1M", 5)]
+    if cpu_mode:
+        sc_sizes = [(20_000, "20k", 3)]
+    # On CPU the Pallas kernels never dispatch, so there is one (XLA) variant.
+    variants = [("", True)] if cpu_mode else [("_pallas", True), ("_xla", False)]
+    for n, label, iters in sc_sizes:
+        beam_n = beam_100k if n == n_screen else make_beam(n)
+        for suffix, enabled in variants:
+            if not wants("space_charge"):
+                continue
+            pallas_cic.ENABLED = enabled
+            record(
+                f"space_charge_{label}{suffix}",
+                timeit_slope(sc_fwd, sc_segment(), beam_n, iters=iters),
+            )
+            record(
+                f"space_charge_grad_{label}{suffix}",
+                timeit_slope(
+                    lambda e, s, b: sc_grad(e, s, b), el, sc_segment(), beam_n,
+                    iters=iters,
+                ),
+            )
+    pallas_cic.ENABLED = True
+
+    # ------------------------------------------------------------------
+    # CIC deposit microbenchmark, Pallas vs XLA
+    # ------------------------------------------------------------------
+    if wants("deposit") and on_tpu:
+        from cheetah_tpu.ops.cloud_in_cell import (
+            _deposit_tensor_product,
+            cloud_in_cell_charge_deposition,
+        )
+
+        for n, label in [(100_000, "100k"), (1_000_000, "1M")]:
+            pos = jax.random.normal(jax.random.key(7), (1, n, 3), f32) * 2.0
+            charges = jax.random.uniform(jax.random.key(8), (1, n), f32)
+            extent = jnp.broadcast_to(jnp.asarray([[-3.0, 3.0]] * 3, f32), (1, 3, 2))
+            record(
+                f"cic_deposit_{label}_32c_pallas",
+                timeit_slope(
+                    jax.jit(
+                        lambda p, c, e: cloud_in_cell_charge_deposition(
+                            p, (32, 32, 32), e, c
+                        )
+                    ),
+                    pos,
+                    charges,
+                    extent,
+                    iters=50,
+                ),
+            )
+            record(
+                f"cic_deposit_{label}_32c_xla",
+                timeit_slope(
+                    jax.jit(
+                        lambda p, c, e: _deposit_tensor_product(
+                            p, c, [32, 32, 32], e
+                        )
+                    ),
+                    pos,
+                    charges,
+                    extent,
+                    iters=50,
+                ),
+            )
+
+    # ------------------------------------------------------------------
+    # Full ARES stage-3 lattice
+    # ------------------------------------------------------------------
+    if wants("ares_full"):
+        ares = ares_stage3(dtype=f32)
+        record(
+            f"ares_full_lattice_{n_screen // 1000}k",
+            timeit_slope(
+                jax.jit(lambda s, b: s.track(b).particles),
+                ares,
+                beam_100k,
+                iters=200 if on_tpu else 10,
+            ),
+        )
+
+    # The committed artifact records the TPU numbers; a CPU run (CI) only
+    # writes the --output array so it cannot clobber the TPU source of truth.
+    out_path = pathlib.Path(__file__).resolve().parent.parent / "bench_details.json"
+    if args.only is None and on_tpu:
+        out_path.write_text(json.dumps(details, indent=2) + "\n")
+        print(f"wrote {out_path}")
+
+    if args.output:
+        array = [
+            {"name": k[: -len("_ms")], "unit": "ms", "value": v}
+            for k, v in details.items()
+            if k.endswith("_ms")
+        ]
+        pathlib.Path(args.output).write_text(json.dumps(array, indent=2) + "\n")
+        print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

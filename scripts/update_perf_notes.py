@@ -1,0 +1,141 @@
+"""Regenerate the measured-numbers table in PERF_NOTES.md from
+bench_details.json.
+
+PERF_NOTES.md (and README.md's headline row) must never disagree with the
+committed benchmark artifact — in round 1 they did, because tables were
+hand-edited at different times. The measured table now lives between
+``<!-- BENCH_TABLE_START -->`` / ``<!-- BENCH_TABLE_END -->`` markers and is
+produced only by this script; ``tests/test_perf_artifacts.py`` fails if the
+committed table differs from a regeneration.
+
+    python scripts/update_perf_notes.py          # rewrite PERF_NOTES.md
+    python scripts/update_perf_notes.py --check  # exit 1 on mismatch
+"""
+
+import argparse
+import json
+import pathlib
+import re
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+START = "<!-- BENCH_TABLE_START -->"
+END = "<!-- BENCH_TABLE_END -->"
+
+ROWS = [
+    # (key, label, notes)
+    ("env_step_4096x10k", "RL env step: 4096 instances x 10k particles x 13 elements (f32)", "headline; HBM-bound"),
+    ("env_step_4096x10k_bf16", "RL env step, bfloat16", "2x HBM traffic reduction"),
+    ("parameter_beam_4096_env_step", "ParameterBeam env step, 4096 instances", "moments-only transport"),
+    ("track_100k_screen_histogram", "100k particles + screen, histogram 2448x2040", "bucketize + segment_sum"),
+    ("track_100k_screen_cloud_in_cell", "100k particles + screen, cloud-in-cell 2448x2040", "differentiable"),
+    ("track_100k_screen_kde_binning8", "100k particles + screen, KDE at binning 8 (306x255)", "differentiable"),
+    ("space_charge_100k_pallas", "Space-charge segment (2 kicks, 32^3), 100k — Pallas", ""),
+    ("space_charge_100k_xla", "Space-charge segment, 100k — XLA two-hot", ""),
+    ("space_charge_grad_100k_pallas", "Space-charge segment, 100k, value_and_grad — Pallas", "custom_vjp adjoints"),
+    ("space_charge_grad_100k_xla", "Space-charge segment, 100k, value_and_grad — XLA", ""),
+    ("space_charge_1M_pallas", "Space-charge segment, 1M — Pallas", ""),
+    ("space_charge_1M_xla", "Space-charge segment, 1M — XLA two-hot", ""),
+    ("space_charge_grad_1M_pallas", "Space-charge segment, 1M, value_and_grad — Pallas", ""),
+    ("space_charge_grad_1M_xla", "Space-charge segment, 1M, value_and_grad — XLA", ""),
+    ("cic_deposit_100k_32c_pallas", "CIC deposit microbench, 100k -> 32^3 — Pallas kernel", ""),
+    ("cic_deposit_100k_32c_xla", "CIC deposit microbench, 100k -> 32^3 — XLA two-hot", ""),
+    ("cic_deposit_1M_32c_pallas", "CIC deposit microbench, 1M -> 32^3 — Pallas kernel", ""),
+    ("cic_deposit_1M_32c_xla", "CIC deposit microbench, 1M -> 32^3 — XLA two-hot", ""),
+    ("ares_full_lattice_100k", "Full 195-element ARES stage-3 lattice, 100k particles", "fused linear tracking"),
+]
+
+
+def render(details: dict) -> str:
+    lines = [
+        START,
+        "",
+        f"Backend: `{details.get('backend', '?')}` — one v5e chip through the "
+        "axon tunnel; fori-loop slope timing with adaptive spans "
+        "(`scripts/bench_all.py`). Regenerate this table ONLY via "
+        "`python scripts/update_perf_notes.py`.",
+        "",
+        "| Workload | Measured | Notes |",
+        "|---|---|---|",
+    ]
+    for key, label, notes in ROWS:
+        ms = details.get(f"{key}_ms")
+        if ms is None:
+            continue
+        extra = []
+        if notes:
+            extra.append(notes)
+        pct = details.get(f"{key}_hbm_pct")
+        if pct is not None:
+            extra.append(f"{pct}% of HBM roofline")
+        lines.append(f"| {label} | {ms:.3f} ms | {'; '.join(extra)} |")
+
+    tp = details.get("transports_per_s")
+    tp16 = details.get("transports_per_s_bf16")
+    if tp:
+        lines.append("")
+        lines.append(
+            f"Headline throughput: **{tp:.3g} macroparticle-element "
+            f"transports/s/chip** ({tp / 1e9:.0f}x the 1e9 target"
+            + (f"; bf16 {tp16:.3g}" if tp16 else "")
+            + ")."
+        )
+    # Derived speedups keep the prose honest.
+    def ratio(a, b):
+        x, y = details.get(f"{a}_ms"), details.get(f"{b}_ms")
+        return f"{x / y:.2f}x" if x and y else "n/a"
+
+    lines += [
+        "",
+        "Derived: Pallas vs XLA — space-charge fwd 100k "
+        + ratio("space_charge_100k_xla", "space_charge_100k_pallas")
+        + ", grad 100k "
+        + ratio("space_charge_grad_100k_xla", "space_charge_grad_100k_pallas")
+        + ", fwd 1M "
+        + ratio("space_charge_1M_xla", "space_charge_1M_pallas")
+        + ", grad 1M "
+        + ratio("space_charge_grad_1M_xla", "space_charge_grad_1M_pallas")
+        + "; deposit kernel 100k "
+        + ratio("cic_deposit_100k_32c_xla", "cic_deposit_100k_32c_pallas")
+        + ", 1M "
+        + ratio("cic_deposit_1M_32c_xla", "cic_deposit_1M_32c_pallas")
+        + "; bf16 env step "
+        + ratio("env_step_4096x10k", "env_step_4096x10k_bf16")
+        + ".",
+        END,
+    ]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--check", action="store_true")
+    args = parser.parse_args()
+
+    details = json.loads((REPO / "bench_details.json").read_text())
+    table = render(details)
+    notes_path = REPO / "PERF_NOTES.md"
+    text = notes_path.read_text()
+    pattern = re.compile(re.escape(START) + ".*?" + re.escape(END), re.S)
+    if not pattern.search(text):
+        print("PERF_NOTES.md has no BENCH_TABLE markers", file=sys.stderr)
+        return 1
+    new_text = pattern.sub(lambda _: table, text)
+
+    if args.check:
+        if new_text != text:
+            print(
+                "PERF_NOTES.md table is stale — run "
+                "`python scripts/update_perf_notes.py`",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
+
+    notes_path.write_text(new_text)
+    print("PERF_NOTES.md table regenerated")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
