@@ -134,6 +134,18 @@ def main() -> None:
             num_instances * num_particles * num_elements / dt_bf16
         )
 
+    if wants("env_moments"):
+        # Exact moments fast path (Segment.track_moments): same sigma_x
+        # readout, no particle-array materialisation — sub-ms, so adaptive
+        # span.
+        dt = timeit_slope(
+            jax.jit(lambda s, b: s.track_moments(b).sigma_x),
+            segment,
+            beam_10k,
+            iters=200,
+        )
+        record(f"env_moments_{num_instances}x{num_particles // 1000}k", dt)
+
     if wants("parameter_beam"):
         parameter_beam = ct.ParameterBeam.from_twiss(
             beta_x=jnp.asarray(5.0, f32),
