@@ -187,12 +187,20 @@ class Element:
         ), "Second-order tracking is currently only supported for `ParticleBeam`."
 
         T = self.second_order_transfer_map(incoming.energy, incoming.species)
-        # (..., 1, 7, 7, 7) contracted with particles (..., N, 7) twice.
-        # Contract in two matmul-shaped steps so XLA maps it onto the MXU:
-        # tp_jk = T_ijk p_k, then out_i = tp_ij p_j.
+        # out_i = sum_jk T_ijk p_j p_k, unrolled over the 7 output
+        # components: per i it is a (..., N, 7) @ (..., 7, 7) matmul followed
+        # by an elementwise multiply-reduce that XLA fuses, so the peak
+        # intermediate is (..., N, 7) — NOT the (..., N, 7, 7) quadratic
+        # tensor a single two-step einsum materialises (which is 8 TB for a
+        # 4096-instance x 10k-particle vectorised lattice and OOMs).
         p = incoming.particles
-        tp = jnp.einsum("...ijk,...nk->...nij", T, p)
-        outgoing_particles = jnp.einsum("...nij,...nj->...ni", tp, p)
+        outgoing_particles = jnp.stack(
+            [
+                jnp.sum((p @ jnp.swapaxes(T[..., i, :, :], -1, -2)) * p, axis=-1)
+                for i in range(7)
+            ],
+            axis=-1,
+        )
 
         return ParticleBeam(
             particles=outgoing_particles,

@@ -146,6 +146,21 @@ def main() -> None:
         )
         record(f"env_moments_{num_instances}x{num_particles // 1000}k", dt)
 
+    if wants("env_second_order"):
+        # Nonlinear variant: the tuned quad tracks second_order. Feasible at
+        # 4096x10k only because _track_second_order keeps the peak
+        # intermediate at (B, N, 7) — the naive two-step einsum's
+        # (B, N, 7, 7) quadratic tensor would be 8 TB.
+        seg2 = ares_ea_subcell(dtype=f32)
+        seg2.AREAMQZM1.tracking_method = "second_order"
+        seg2.AREAMQZM1.k1 = jnp.linspace(-20, 20, num_instances, dtype=f32)
+        dt = timeit_slope(env_step, seg2, beam_10k)
+        record(
+            f"env_second_order_{num_instances}x{num_particles // 1000}k",
+            dt,
+            roofline_bytes=num_instances * num_particles * 7 * 4,
+        )
+
     if wants("parameter_beam"):
         parameter_beam = ct.ParameterBeam.from_twiss(
             beta_x=jnp.asarray(5.0, f32),
