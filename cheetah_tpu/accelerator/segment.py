@@ -430,6 +430,26 @@ class Segment(Element):
             incoming = todo.track(incoming)
         return incoming
 
+    def track_checkpointed(self, incoming: Beam) -> Beam:
+        """Track with gradient rematerialisation at run boundaries.
+
+        Wraps each fused run / non-skippable element in :func:`jax.checkpoint`
+        so reverse-mode differentiation stores only the beam at run
+        boundaries and recomputes intermediates — trading FLOPs for HBM, the
+        standard TPU recipe for long nonlinear lattices (many space-charge
+        kicks or drift-kick-drift elements over large particle arrays) whose
+        full backward residuals would not fit. Forward results and gradients
+        are identical to :meth:`track`; only peak memory (and a little
+        recompute) differ. No reference analogue (torch keeps all
+        activations).
+        """
+        import jax
+
+        track_one = jax.checkpoint(lambda beam, element: element.track(beam))
+        for todo in self._plan():
+            incoming = track_one(incoming, todo)
+        return incoming
+
     def track_moments(self, incoming: Beam) -> Beam:
         """Track only the beam's first and second moments — exactly.
 

