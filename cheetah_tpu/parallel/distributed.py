@@ -66,6 +66,19 @@ def initialize(
         jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
     except Exception:
         pass  # Backend already initialised with a collectives implementation.
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+    ):
+        # Bare call: join a cluster if the environment describes one (TPU
+        # pods, SLURM, ...); on a plain single process there is nothing to
+        # join and the bare call is a documented no-op.
+        try:
+            jax.distributed.initialize(local_device_ids=local_device_ids)
+        except (ValueError, RuntimeError):
+            return
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -205,6 +205,67 @@ def main() -> None:
         record(name, timeit_slope(track_and_read, seg, beam_100k, iters=screen_iters))
 
     # ------------------------------------------------------------------
+    # BASELINE config 2: grad of the screen centroid w.r.t. quad strength
+    # ------------------------------------------------------------------
+    if wants("grad_screen_centroid"):
+        seg = ares_ea_subcell(dtype=f32, screen=True)
+        seg.AREABSCR1.method = "cloud-in-cell"  # differentiable readout
+        beam_grad = make_beam(num_particles)
+
+        def centroid_loss(k1, seg, beam):
+            seg.AREAMQZM1.k1 = k1
+            _, readings = seg.track_with_readings(beam)
+            image = readings["AREABSCR1"]
+            centers_x, _ = seg.AREABSCR1.pixel_bin_centers
+            column_mass = jnp.sum(image, axis=-2)
+            return jnp.sum(column_mass * centers_x) / jnp.sum(column_mass)
+
+        dt = timeit_slope(
+            jax.jit(jax.value_and_grad(centroid_loss)),
+            jnp.asarray(4.0, f32),
+            seg,
+            beam_grad,
+            iters=20,
+        )
+        record(f"grad_screen_centroid_{num_particles // 1000}k", dt)
+
+    # ------------------------------------------------------------------
+    # BASELINE config 3: nonlinear chain (Cavity + Dipole + Sextupole)
+    # ------------------------------------------------------------------
+    if wants("nonlinear_chain"):
+        chain = ct.Segment(
+            [
+                ct.Drift(jnp.asarray(0.2, f32)),
+                ct.Cavity(
+                    jnp.asarray(1.0, f32),
+                    voltage=jnp.asarray(2e7, f32),
+                    phase=jnp.asarray(30.0, f32),
+                    frequency=jnp.asarray(1.3e9, f32),
+                    name="cav",
+                ),
+                ct.Drift(jnp.asarray(0.2, f32)),
+                ct.Dipole(
+                    jnp.asarray(0.4, f32),
+                    angle=jnp.asarray(0.15, f32),
+                    tracking_method="drift_kick_drift",
+                    name="dip",
+                ),
+                ct.Drift(jnp.asarray(0.2, f32)),
+                ct.Sextupole(
+                    jnp.asarray(0.2, f32), k2=jnp.asarray(60.0, f32), name="sext"
+                ),
+                ct.Drift(jnp.asarray(0.2, f32)),
+            ]
+        )
+        dt = timeit_slope(
+            jax.jit(lambda s, b: s.track(b).particles),
+            chain,
+            beam_100k,
+            iters=50 if on_tpu else 5,
+        )
+        record(f"nonlinear_chain_{n_screen // 1000}k", dt)
+
+    # ------------------------------------------------------------------
     # Space charge: forward and gradient, Pallas vs XLA
     # ------------------------------------------------------------------
     def sc_segment():
