@@ -73,10 +73,39 @@ def initialize(
     ):
         # Bare call: join a cluster if the environment describes one (TPU
         # pods, SLURM, ...); on a plain single process there is nothing to
-        # join and the bare call is a documented no-op.
+        # join and the bare call is a documented no-op. A failure is only
+        # swallowed when the environment does not describe a MULTI-host
+        # cluster — on a machine that is visibly one worker of several,
+        # silently degrading to single-process mode would compute wrong
+        # results, so the error propagates.
+        import os
+
+        def _multihost_env() -> bool:
+            if any(
+                os.environ.get(key)
+                for key in (
+                    "COORDINATOR_ADDRESS",
+                    "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS",
+                )
+            ):
+                return True
+            hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+            if "," in hostnames:
+                return True
+            for key in ("SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+                try:
+                    if int(os.environ.get(key, "1")) > 1:
+                        return True
+                except ValueError:
+                    pass
+            return False
+
         try:
             jax.distributed.initialize(local_device_ids=local_device_ids)
         except (ValueError, RuntimeError):
+            if _multihost_env():
+                raise
             return
         return
     jax.distributed.initialize(
@@ -198,8 +227,10 @@ def process_local_beam(
     each process constructs a beam holding only its *local* slice of the
     instance and/or particle axes (e.g. its own chunk of lattice settings or
     macroparticles) and this function stitches the slices into one global
-    sharded beam. Fields not covered by the requested axes are taken from
-    process 0's values and replicated.
+    sharded beam. Fields not covered by the requested axes are replicated
+    from each process's own value — as with all JAX multi-process inputs,
+    every process MUST pass identical values for those fields (they are not
+    broadcast from process 0, and divergence is not detected).
     """
     from cheetah_tpu.parallel.sharding import beam_shardings
 

@@ -279,8 +279,6 @@ def main() -> None:
             ]
         )
 
-    sc_fwd = jax.jit(lambda s, b: s.track(b).particles)
-
     # Differentiate w.r.t. the FIRST drift length: it moves the particles
     # that feed the deposit, so the whole deposit->FFT->gather pipeline is in
     # the differentiated path and cannot be hoisted out of the timing loop
@@ -290,7 +288,6 @@ def main() -> None:
         s.elements[0].length = drift_length
         return jnp.sum(jnp.square(s.track(b).px))
 
-    sc_grad = jax.jit(jax.value_and_grad(sc_loss))
     el = jnp.asarray(0.1, f32)
 
     sc_sizes = [(100_000, "100k", 10), (1_000_000, "1M", 5)]
@@ -304,16 +301,21 @@ def main() -> None:
             if not wants("space_charge"):
                 continue
             pallas_cic.ENABLED = enabled
+            # Build the jitted callables INSIDE the variant loop: the
+            # ENABLED flag is read at trace time, and a jitted function
+            # traced under the other variant would be silently reused from
+            # the trace cache for identical avals/treedefs (fresh
+            # auto-generated element names currently force a re-trace, but
+            # that is an accident, not a contract).
+            sc_fwd = jax.jit(lambda s, b: s.track(b).particles)
+            sc_grad = jax.jit(jax.value_and_grad(sc_loss))
             record(
                 f"space_charge_{label}{suffix}",
                 timeit_slope(sc_fwd, sc_segment(), beam_n, iters=iters),
             )
             record(
                 f"space_charge_grad_{label}{suffix}",
-                timeit_slope(
-                    lambda e, s, b: sc_grad(e, s, b), el, sc_segment(), beam_n,
-                    iters=iters,
-                ),
+                timeit_slope(sc_grad, el, sc_segment(), beam_n, iters=iters),
             )
     pallas_cic.ENABLED = True
 
