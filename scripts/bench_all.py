@@ -161,6 +161,16 @@ def main() -> None:
             roofline_bytes=num_instances * num_particles * 7 * 4,
         )
 
+    if wants("env_dkd"):
+        # Drift-kick-drift variant: the tuned quad integrates with lax.scan
+        # over 5 thin-lens steps per step (bmadx coordinate kernels).
+        seg3 = ares_ea_subcell(dtype=f32)
+        seg3.AREAMQZM1.tracking_method = "drift_kick_drift"
+        seg3.AREAMQZM1.num_steps = 5
+        seg3.AREAMQZM1.k1 = jnp.linspace(-20, 20, num_instances, dtype=f32)
+        dt = timeit_slope(env_step, seg3, beam_10k, iters=10)
+        record(f"env_dkd_{num_instances}x{num_particles // 1000}k", dt)
+
     if wants("parameter_beam"):
         parameter_beam = ct.ParameterBeam.from_twiss(
             beta_x=jnp.asarray(5.0, f32),

@@ -297,3 +297,31 @@ def test_shard_map_space_charge_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected), rtol=1e-9, atol=1e-14
     )
+
+
+def test_sharded_track_moments_matches_unsharded(key):
+    """The exact moments fast path composes with instance-axis sharding:
+    settings sharded over the mesh produce the same sigmas as unsharded."""
+    segment = make_segment()
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=512, energy=jnp.array(1.5e8, jnp.float64), key=key
+    )
+    segment.q1.k1 = jnp.linspace(-10.0, 10.0, 16, dtype=jnp.float64)
+    expected = segment.track_moments(beam).sigma_x
+
+    mesh = make_mesh()
+    sharded_segment = shard_segment(segment, mesh, instance_axis="instances")
+    sharded_beam = shard_beam(beam, mesh)
+    result = jax.jit(lambda s, b: s.track_moments(b).sigma_x)(
+        sharded_segment, sharded_beam
+    )
+    np.testing.assert_allclose(np.asarray(result), np.asarray(expected), rtol=1e-12)
+
+    env = BatchedLatticeEnv(segment, beam, [("q1", "k1")], moments_only=True)
+    settings = jax.device_put(
+        jnp.linspace(-10.0, 10.0, 16, dtype=jnp.float64)[:, None],
+        NamedSharding(mesh, P("instances", None)),
+    )
+    _, _, reward = jax.jit(env.step)(settings)
+    assert reward.shape == (16,)
+    assert bool(jnp.all(jnp.isfinite(reward)))
