@@ -23,12 +23,11 @@ import jax.numpy as jnp
 
 def _timeit(fn, *args, iters=20):
     """Honest per-step device time over the axon tunnel (fori-loop slope
-    method; see :func:`cheetah_tpu.utils.profiling.timeit_slope`)."""
+    method with the backend-appropriate jitter floor; see
+    :func:`cheetah_tpu.utils.profiling.timeit_slope`)."""
     from cheetah_tpu.utils.profiling import timeit_slope
 
-    # 150 ms jitter floor on the tunneled TPU backend (see bench_all.py).
-    min_delta = 0.15 if jax.default_backend() == "tpu" else 0.0
-    return timeit_slope(fn, *args, iters=iters, min_delta=min_delta)
+    return timeit_slope(fn, *args, iters=iters)
 
 
 def main() -> None:

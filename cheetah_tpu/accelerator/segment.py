@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Literal
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -443,8 +444,6 @@ class Segment(Element):
         recompute) differ. No reference analogue (torch keeps all
         activations).
         """
-        import jax
-
         track_one = jax.checkpoint(lambda beam, element: element.track(beam))
         for todo in self._plan():
             incoming = track_one(incoming, todo)

@@ -72,7 +72,7 @@ def timeit_slope(
     *args,
     iters: int = 20,
     repeats: int = 5,
-    min_delta: float = 0.0,
+    min_delta: float | None = None,
     max_iters: int = 200_000,
 ) -> float:
     """Honest per-step device time, robust to tunneled backends.
@@ -89,10 +89,15 @@ def timeit_slope(
     :param min_delta: When > 0, grow the loop span (x10) until
         ``t_n - t_1 >= min_delta`` seconds, so sub-microsecond workloads are
         not drowned by fetch jitter (the failure mode behind an earlier bogus
-        5e-9 ms record in ``bench_details.json``).
+        5e-9 ms record in ``bench_details.json``). ``None`` (default) picks
+        0.15 s on the (tunneled) TPU backend, where fetch jitter is ~15 ms,
+        and 0 elsewhere.
     :return: Seconds per step.
     """
     import jax.numpy as jnp
+
+    if min_delta is None:
+        min_delta = 0.15 if jax.default_backend() == "tpu" else 0.0
 
     leaves, treedef = jax.tree.flatten(args)
     dtype = leaves[0].dtype

@@ -56,16 +56,11 @@ def main() -> None:
     import cheetah_tpu as ct
     from cheetah_tpu.lattices import ares_ea_subcell, ares_stage3
     from cheetah_tpu.ops import pallas_cic
-    from cheetah_tpu.utils.profiling import timeit_slope as _timeit_slope
-
-    def timeit_slope(fn, *a, iters=20, min_delta=0.15, **kw):
-        # Every workload must clear the tunnel-fetch jitter (~15 ms): grow
-        # the loop span until t_n - t_1 >= 150 ms. Without this, 1-10 ms
-        # workloads at short spans return jitter, not device time (bogus
-        # 0.21 ms / 0.0000 ms space-charge "gradients" in earlier runs).
-        if jax.default_backend() != "tpu":
-            min_delta = 0.0  # CPU fetches are honest; no jitter floor
-        return _timeit_slope(fn, *a, iters=iters, min_delta=min_delta, **kw)
+    # timeit_slope's default min_delta grows every TPU workload's loop span
+    # until the slope clears the ~15 ms tunnel-fetch jitter by 10x. Without
+    # it, 1-10 ms workloads at short spans return jitter, not device time
+    # (bogus 0.21 ms / 0.0000 ms space-charge "gradients" in earlier runs).
+    from cheetah_tpu.utils.profiling import timeit_slope
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
