@@ -187,20 +187,37 @@ class Element:
         ), "Second-order tracking is currently only supported for `ParticleBeam`."
 
         T = self.second_order_transfer_map(incoming.energy, incoming.species)
-        # out_i = sum_jk T_ijk p_j p_k, unrolled over the 7 output
-        # components: per i it is a (..., N, 7) @ (..., 7, 7) matmul followed
-        # by an elementwise multiply-reduce that XLA fuses, so the peak
-        # intermediate is (..., N, 7) — NOT the (..., N, 7, 7) quadratic
-        # tensor a single two-step einsum materialises (which is 8 TB for a
-        # 4096-instance x 10k-particle vectorised lattice and OOMs).
+        # out_i = sum_jk T_ijk p_j p_k. Two formulations, picked by whether
+        # the PARTICLE array carries batch dims (the map T may be batched
+        # either way — per-instance lattice settings):
         p = incoming.particles
-        outgoing_particles = jnp.stack(
-            [
-                jnp.sum((p @ jnp.swapaxes(T[..., i, :, :], -1, -2)) * p, axis=-1)
-                for i in range(7)
-            ],
-            axis=-1,
-        )
+        if p.ndim == 2:
+            # Unbatched particles (the vectorised-lattice case): the
+            # quadratic form factors through the instance-INDEPENDENT
+            # outer-product matrix S[n, jk] = p_j p_k — (N, 49), ~2.8 MB at
+            # 10k particles — and the whole contraction is ONE batched
+            # matmul (N, 49) @ (..., 49, 7), i.e. the same single
+            # materialisation as linear transport. Measured 13.3 -> ~2 ms
+            # on the 4096x10k second_order env step vs the per-component
+            # unroll below (which pays 7 full-size dot outputs).
+            S = (p[:, :, None] * p[:, None, :]).reshape(p.shape[0], 49)
+            T2 = T.reshape(*T.shape[:-3], 7, 49)
+            outgoing_particles = S @ jnp.swapaxes(T2, -1, -2)
+        else:
+            # Batched particles: S would be (..., N, 49) — 7x the linear
+            # intermediate (8 TB at 4096x10k). Unroll over the 7 output
+            # components instead: per i a (..., N, 7) @ (..., 7, 7) matmul
+            # plus a fused multiply-reduce keeps the peak intermediate at
+            # (..., N, 7).
+            outgoing_particles = jnp.stack(
+                [
+                    jnp.sum(
+                        (p @ jnp.swapaxes(T[..., i, :, :], -1, -2)) * p, axis=-1
+                    )
+                    for i in range(7)
+                ],
+                axis=-1,
+            )
 
         return ParticleBeam(
             particles=outgoing_particles,
