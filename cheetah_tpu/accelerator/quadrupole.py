@@ -169,8 +169,16 @@ class Quadrupole(Element):
             jnp.broadcast_to(value, carry_shape)
             for value in (x, px, y, py, z + jnp.zeros_like(pz))
         )
+        # Unroll small step counts: the body is pure elementwise, so an
+        # unrolled chain fuses into ONE pass over the particle arrays
+        # instead of one carry materialisation per step (the scan carry
+        # round-trips ~10 x (B, N) arrays through HBM per step at large
+        # batch). Cap the unroll so huge num_steps keep compile time sane.
         (x, px, y, py, z), _ = jax.lax.scan(
-            step, (x, px, y, py, z), length=self.num_steps
+            step,
+            (x, px, y, py, z),
+            length=self.num_steps,
+            unroll=min(self.num_steps, 8),
         )
 
         x, px, y, py = bmadx.offset_particle_unset(
