@@ -82,3 +82,23 @@ def test_two_process_cluster_runs_sharded_env_step():
     for rank, (proc, out) in enumerate(zip(procs, outputs)):
         assert proc.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"[{rank}] DISTRIBUTED-OK" in out, f"rank {rank} output:\n{out}"
+
+
+def test_bare_initialize_is_noop_single_process(monkeypatch):
+    """A bare initialize() on a plain single process must not raise (the JAX
+    backend is already up in the test process, so jax.distributed refuses) —
+    and must re-raise when the environment describes a multi-host cluster."""
+    import cheetah_tpu.parallel as ctp
+
+    for key in (
+        "COORDINATOR_ADDRESS",
+        "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        monkeypatch.delenv(key, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")  # single host
+    ctp.initialize()  # no-op, must not raise
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    with pytest.raises((ValueError, RuntimeError)):
+        ctp.initialize()
