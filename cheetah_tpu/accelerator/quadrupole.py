@@ -174,6 +174,8 @@ class Quadrupole(Element):
         # instead of one carry materialisation per step (the scan carry
         # round-trips ~10 x (B, N) arrays through HBM per step at large
         # batch). Cap the unroll so huge num_steps keep compile time sane.
+        # (A plain Python loop measured SLOWER than scan-with-unroll on the
+        # 4096x10k dkd env step: 23.7 vs 18.3 ms — keep the scan.)
         (x, px, y, py, z), _ = jax.lax.scan(
             step,
             (x, px, y, py, z),
