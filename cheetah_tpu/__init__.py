@@ -43,7 +43,8 @@ from cheetah_tpu.utils.warnings import (
     VisualizationWarning,
 )
 
-__version__ = "0.1.0"
+# Guarded against pyproject.toml drift by tests/test_packaging.py.
+__version__ = "0.3.0"
 
 __all__ = [
     "Aperture",
