@@ -7,6 +7,7 @@ import warnings
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from cheetah_tpu.accelerator.element import Element
@@ -116,10 +117,14 @@ class Cavity(Element):
         voltage, phase = self.voltage, self.phase
         if isinstance(voltage, jax.core.Tracer) or isinstance(phase, jax.core.Tracer):
             return
-        at_crossing = (jnp.abs(jnp.mod(phase, 180.0) - 90.0) < 1e-3) & (
-            voltage != 0
+        # numpy, not jnp: this runs on every concrete voltage/phase
+        # assignment, and a jnp formulation would force a host-device sync
+        # per setattr in eager tuning loops.
+        voltage_np, phase_np = np.asarray(voltage), np.asarray(phase)
+        at_crossing = (np.abs(np.mod(phase_np, 180.0) - 90.0) < 1e-3) & (
+            voltage_np != 0
         )
-        if bool(jnp.any(at_crossing)):
+        if bool(np.any(at_crossing)):
             warnings.warn(
                 f"Cavity {getattr(self, 'name', '?')} is at a zero-crossing "
                 "phase (+-90 deg) with non-zero voltage: the standing-wave "

@@ -57,6 +57,14 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
         GSPMD sharding leave it ``None`` and XLA derives the same
         collectives for the XLA code path.
     :param name: Unique identifier of the element.
+
+    .. note:: On the default TPU dispatch path the CIC deposit/gather run as
+        Pallas kernels wrapped in ``custom_vjp``, which supports reverse-mode
+        AD (``jax.grad``/``jax.jacrev``) but not forward mode:
+        ``jax.jvp``/``jax.jacfwd`` through :meth:`track` raise. For
+        forward-mode differentiation disable the kernels with
+        ``cheetah_tpu.ops.pallas_cic.ENABLED = False`` — the XLA formulation
+        is fully jvp-capable.
     """
 
     effect_length: Array

@@ -21,8 +21,21 @@ standard JAX SPMD recipe:
 
 Under this layout the env-step throughput scales linearly in hosts: each
 host tracks its own instance shard and only the (tiny) readout/loss
-reductions cross DCN. Verified by the two-process localhost test in
-``tests/test_distributed.py``.
+reductions cross DCN. This is *checked*, not asserted: the compiled-HLO
+collective audit (:mod:`cheetah_tpu.parallel.comm_audit`) measures the bytes
+crossing the ``hosts`` axis per training step — 4 bytes (one scalar loss
+all-reduce) for the headline env step (``tests/test_parallel.py``
+``test_dcn_collective_volume_is_readout_sized``; ``dcn_bytes_per_step`` in
+``bench_details.json``). Numerics are verified by the two-process localhost
+test in ``tests/test_distributed.py``.
+
+One known hazard: XLA's SPMD partitioner cannot batch-partition FFTs, so a
+space-charge lattice whose *instance-batched grids* are sharded over hosts
+under plain GSPMD gets its grids all-gathered across DCN every kick
+(O(instances x grid) bytes). Use ``shard_map`` data parallelism over the
+hosts axis for space-charge workloads instead — everything stays host-local
+(``test_dcn_space_charge_shard_map_dp_is_local`` vs
+``test_dcn_audit_flags_gspmd_fft_replication``).
 """
 
 from __future__ import annotations
@@ -62,9 +75,14 @@ def initialize(
     """
     if jax.distributed.is_initialized():
         return
+    if cpu_collectives not in ("gloo", "mpi"):
+        raise ValueError(
+            f"Unknown cpu_collectives {cpu_collectives!r}; must be 'gloo' or "
+            "'mpi'."
+        )
     try:
         jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
-    except Exception:
+    except RuntimeError:
         pass  # Backend already initialised with a collectives implementation.
     if (
         coordinator_address is None

@@ -100,12 +100,28 @@ def timeit_slope(
         min_delta = 0.15 if jax.default_backend() == "tpu" else 0.0
 
     leaves, treedef = jax.tree.flatten(args)
-    dtype = leaves[0].dtype
+    # The perturbation leaf must be floating point: on an integer/bool leaf
+    # the 1e-30 nudge rounds to zero, the loop body becomes loop-invariant,
+    # XLA hoists it, and the reported time is silently bogus.
+    try:
+        pert_idx = next(
+            i
+            for i, leaf in enumerate(leaves)
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)
+        )
+    except StopIteration:
+        raise TypeError(
+            "timeit_slope needs at least one floating-point leaf in `args` to "
+            "carry the anti-hoisting perturbation; got only integer/bool "
+            "leaves."
+        ) from None
+    dtype = jnp.asarray(leaves[pert_idx]).dtype
 
     @jax.jit
     def many(n, *flat):
         def body(_, carry):
-            pert = [flat[0] + carry * jnp.asarray(1e-30, dtype)] + list(flat[1:])
+            pert = list(flat)
+            pert[pert_idx] = flat[pert_idx] + carry * jnp.asarray(1e-30, dtype)
             out = fn(*jax.tree.unflatten(treedef, pert))
             first = jax.tree.leaves(out)[0]
             return jnp.sum(first).astype(dtype) * jnp.asarray(1e-12, dtype)
