@@ -1,3 +1,8 @@
+from cheetah_tpu.parallel.comm_audit import (
+    CollectiveReport,
+    collective_report,
+    parse_collectives,
+)
 from cheetah_tpu.parallel.distributed import (
     initialize,
     make_hybrid_mesh,
@@ -15,7 +20,10 @@ from cheetah_tpu.parallel.sharding import (
 
 __all__ = [
     "BatchedLatticeEnv",
+    "CollectiveReport",
     "beam_shardings",
+    "collective_report",
+    "parse_collectives",
     "initialize",
     "make_hybrid_mesh",
     "make_mesh",

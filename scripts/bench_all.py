@@ -381,6 +381,25 @@ def main() -> None:
             ),
         )
 
+    # ------------------------------------------------------------------
+    # DCN collective-volume audit (subprocess: needs an 8-device CPU mesh)
+    # ------------------------------------------------------------------
+    if args.only is None:
+        import subprocess
+
+        audit = subprocess.run(
+            [sys.executable, str(pathlib.Path(__file__).parent / "dcn_audit.py")],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        audit_line = audit.stdout.strip().splitlines()[-1] if audit.stdout else "{}"
+        try:
+            details.update(json.loads(audit_line))
+            print(f"dcn audit: {audit_line}", flush=True)
+        except json.JSONDecodeError:
+            print(f"dcn audit failed: {audit.stderr[-500:]}", flush=True)
+
     # The committed artifact records the TPU numbers; a CPU run (CI) only
     # writes the --output array so it cannot clobber the TPU source of truth.
     out_path = pathlib.Path(__file__).resolve().parent.parent / "bench_details.json"

@@ -325,3 +325,188 @@ def test_sharded_track_moments_matches_unsharded(key):
     _, _, reward = jax.jit(env.step)(settings)
     assert reward.shape == (16,)
     assert bool(jnp.all(jnp.isfinite(reward)))
+
+
+# ----------------------------------------------------------------------
+# DCN collective-volume audit (round-3: makes the linear-scaling claim of
+# parallel/distributed.py checkable — a layout regression that moves the
+# particle array over the hosts axis fails here).
+# ----------------------------------------------------------------------
+
+
+def test_dcn_collective_volume_is_readout_sized():
+    """Cross-host collective volume per headline training step (the RL env
+    step + grad, instance axis over hosts x devices) is O(settings +
+    readouts) — bytes — NOT O(particles). This is the checked form of the
+    linear-scaling assertion in ``parallel/distributed.py``."""
+    from cheetah_tpu.lattices import ares_ea_subcell
+    from cheetah_tpu.parallel import collective_report, make_hybrid_mesh
+
+    f64 = jnp.float64
+    mesh = make_hybrid_mesh({"devices": 4}, {"hosts": 2})
+    segment = ares_ea_subcell(dtype=f64)
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=4096,
+        sigma_x=jnp.asarray(1.7e-4, f64),
+        energy=jnp.asarray(1.5e8, f64),
+        key=jax.random.PRNGKey(3),
+    )
+    settings = jax.device_put(
+        jnp.linspace(-20.0, 20.0, 64, dtype=f64),
+        NamedSharding(mesh, P(("hosts", "devices"))),
+    )
+
+    def loss_fn(settings, segment, beam):
+        segment.AREAMQZM1.k1 = settings
+        outgoing = segment.track(beam)
+        return jnp.mean(jnp.square(outgoing.sigma_x) + jnp.square(outgoing.sigma_y))
+
+    @jax.jit
+    def train_step(settings, segment, beam):
+        loss, grads = jax.value_and_grad(loss_fn)(settings, segment, beam)
+        return loss, settings - 0.01 * grads
+
+    compiled = train_step.lower(settings, segment, beam).compile()
+    report = collective_report(compiled, mesh, dcn_axes=("hosts",))
+
+    particle_bytes = int(np.prod(beam.particles.shape)) * 8
+    assert particle_bytes > 200_000  # the workload is genuinely particle-heavy
+    assert len(report.ops) >= 1  # the loss mean crosses hosts
+    assert report.dcn_bytes < 4096, (
+        f"{report.dcn_bytes} bytes cross the DCN axis per step:\n"
+        + "\n".join(op.line[:140] for op in report.ops if op.crosses["hosts"])
+    )
+    assert report.dcn_bytes < particle_bytes / 100
+
+
+def test_dcn_space_charge_shard_map_dp_is_local():
+    """Space charge with the instance axis DP'd via ``shard_map`` over hosts:
+    every grid/FFT stays host-local, so DCN volume is one loss scalar. This
+    is the recommended multi-host layout for space-charge workloads (see
+    ``test_dcn_audit_flags_gspmd_fft_replication`` for why)."""
+    from functools import partial
+
+    from jax import shard_map
+
+    from cheetah_tpu.parallel import collective_report, make_hybrid_mesh
+
+    f64 = jnp.float64
+    mesh = make_hybrid_mesh({"devices": 4}, {"hosts": 2})
+    num_instances = 16
+
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(jnp.asarray(0.122, f64), k1=jnp.asarray(10.0, f64), name="q1"),
+            ct.SpaceChargeKick(jnp.asarray(0.4, f64), grid_shape=(8, 8, 8)),
+            ct.Drift(jnp.asarray(0.2, f64)),
+        ],
+        name="sc_dp",
+    )
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1024,
+        sigma_x=jnp.asarray(1.7e-4, f64),
+        total_charge=jnp.asarray(1e-10, f64),
+        energy=jnp.asarray(1.5e8, f64),
+        key=jax.random.PRNGKey(3),
+    )
+    settings = jax.device_put(
+        jnp.linspace(5.0, 15.0, num_instances, dtype=f64),
+        NamedSharding(mesh, P("hosts")),
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("hosts"),),
+        out_specs=P(),
+        # FFT cotangents inside shard_map trip the varying-axes checker
+        # (jax 0.9 limitation); the psum-reduced output is manifestly
+        # replicated, so the check is safely disabled.
+        check_vma=False,
+    )
+    def loss_shard(local_settings):
+        seg = segment.clone()
+        seg.q1.k1 = local_settings
+        outgoing = seg.track(beam)
+        local_sum = jnp.sum(jnp.square(outgoing.sigma_x))
+        return jax.lax.psum(local_sum, "hosts") / num_instances
+
+    step = jax.jit(lambda s: jax.value_and_grad(lambda v: loss_shard(v))(s))
+    compiled = step.lower(settings).compile()
+    report = collective_report(compiled, mesh, dcn_axes=("hosts",))
+
+    grid_bytes = num_instances * (16**3) * 8
+    assert report.dcn_bytes < 4096, (
+        f"{report.dcn_bytes} bytes cross DCN (grids are {grid_bytes}):\n"
+        + "\n".join(op.line[:140] for op in report.ops if op.crosses["hosts"])
+    )
+    # And the step actually runs.
+    loss, grad = step(settings)
+    assert bool(jnp.isfinite(loss)) and bool(jnp.all(jnp.isfinite(grad)))
+
+
+def test_dcn_audit_flags_gspmd_fft_replication():
+    """Known XLA hazard, kept as a detector regression: under plain GSPMD the
+    SPMD partitioner cannot batch-partition FFTs — it *replicates* them, all-
+    gathering instance-sharded space-charge grids across hosts (O(grid) DCN
+    bytes per kick). The audit must flag it; the fix is the ``shard_map`` DP
+    layout of the previous test."""
+    from cheetah_tpu.parallel import collective_report, make_hybrid_mesh
+
+    f64 = jnp.float64
+    mesh = make_hybrid_mesh({"devices": 4}, {"hosts": 2})
+
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(jnp.asarray(0.122, f64), k1=jnp.asarray(10.0, f64), name="q1"),
+            ct.SpaceChargeKick(jnp.asarray(0.4, f64), grid_shape=(8, 8, 8)),
+        ],
+        name="sc_gspmd",
+    )
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1024,
+        sigma_x=jnp.asarray(1.7e-4, f64),
+        total_charge=jnp.asarray(1e-10, f64),
+        energy=jnp.asarray(1.5e8, f64),
+        key=jax.random.PRNGKey(3),
+    )
+    settings = jax.device_put(
+        jnp.linspace(5.0, 15.0, 16, dtype=f64), NamedSharding(mesh, P("hosts"))
+    )
+
+    @jax.jit
+    def step(settings, segment, beam):
+        segment.q1.k1 = settings
+        return jnp.mean(jnp.square(segment.track(beam).sigma_x))
+
+    compiled = step.lower(settings, segment, beam).compile()
+    report = collective_report(compiled, mesh, dcn_axes=("hosts",))
+
+    # O(grid) traffic crosses hosts — orders of magnitude above readout size.
+    assert report.dcn_bytes > 100_000
+
+
+def test_dcn_audit_detects_particle_allgather():
+    """Negative control: a layout that replicates host-sharded particles MUST
+    be flagged with O(particles) DCN bytes — proves the detector detects."""
+    from cheetah_tpu.parallel import collective_report, make_hybrid_mesh
+
+    f64 = jnp.float64
+    mesh = make_hybrid_mesh({"devices": 4}, {"hosts": 2})
+    num_particles = 16_384
+    particles = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(0), (num_particles, 7), f64) * 1e-4,
+        NamedSharding(mesh, P(("hosts", "devices"), None)),
+    )
+    drift = ct.Drift(jnp.asarray(1.0, f64))
+
+    @jax.jit
+    def bad_step(particles):
+        beam = ct.ParticleBeam(particles=particles, energy=jnp.asarray(1.5e8, f64))
+        out = drift.track(beam).particles
+        return jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P()))
+
+    compiled = bad_step.lower(particles).compile()
+    report = collective_report(compiled, mesh, dcn_axes=("hosts",))
+
+    assert report.dcn_bytes >= num_particles * 7 * 8
