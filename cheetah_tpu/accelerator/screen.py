@@ -238,12 +238,10 @@ class Screen(ZeroLengthMixin, Element):
 
     def _image_of(self, read_beam: Beam) -> Array:
         if isinstance(read_beam, ParameterBeam):
-            if read_beam.mu[..., 0].size > 1:
-                raise NotImplementedError(
-                    "`Screen` does not support vectorization of `ParameterBeam`. "
-                    "Please use `ParticleBeam` instead."
-                )
             # Analytic 2D Gaussian pdf over the pixel grid (ref screen.py:252-290).
+            # Vectorises over arbitrary leading dims by broadcasting the
+            # (..., 2) mean / (..., 2, 2) covariance against the pixel grid
+            # (the reference raises ``NotImplementedError`` on vector dims).
             transverse_mu = jnp.stack(
                 [read_beam.mu[..., 0], read_beam.mu[..., 2]], axis=-1
             )
@@ -267,7 +265,9 @@ class Screen(ZeroLengthMixin, Element):
             x, y = jnp.meshgrid(xs, ys, indexing="ij")
             pos = jnp.stack([x, y], axis=-1)
             pdf = jax.scipy.stats.multivariate_normal.pdf(
-                pos, transverse_mu, transverse_cov
+                pos,
+                transverse_mu[..., None, None, :],
+                transverse_cov[..., None, None, :, :],
             )
             return jnp.swapaxes(pdf, -1, -2)
         elif isinstance(read_beam, ParticleBeam):

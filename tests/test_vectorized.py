@@ -238,6 +238,41 @@ def test_vectorized_beam_and_element_broadcast(key):
     assert out2.particles.shape == (3, 4, beam.num_particles, 7)
 
 
+def test_vectorized_parameter_beam_screen_reading():
+    """The analytic ParameterBeam screen reading broadcasts over ``(3, 2)``
+    vector dims (the reference raises ``NotImplementedError`` here,
+    ``screen.py:252-258``)."""
+    screen = ct.Screen(
+        resolution=(32, 24),
+        pixel_size=jnp.asarray([1e-4, 1e-4], jnp.float64),
+        misalignment=jnp.asarray([3e-5, -2e-5], jnp.float64),
+        method="histogram",
+        is_active=True,
+    )
+    mu_x = jnp.linspace(-2e-4, 2e-4, 6, dtype=jnp.float64).reshape(3, 2)
+    batched = ct.ParameterBeam.from_parameters(
+        mu_x=mu_x,
+        sigma_x=jnp.full((3, 2), 3e-4, jnp.float64),
+        sigma_y=jnp.full((3, 2), 2e-4, jnp.float64),
+        energy=jnp.full((3, 2), 1.5e8, jnp.float64),
+    )
+    images = screen.observe(batched)
+    assert images.shape == (3, 2, 24, 32)
+
+    # Each batch entry must equal the corresponding scalar-beam reading.
+    for i in range(3):
+        for j in range(2):
+            single = ct.ParameterBeam(
+                mu=batched.mu[i, j],
+                cov=batched.cov[i, j],
+                energy=batched.energy[i, j],
+                total_charge=jnp.asarray(0.0, jnp.float64),
+            )
+            np.testing.assert_allclose(
+                images[i, j], screen.observe(single), rtol=1e-12, atol=0
+            )
+
+
 def test_vectorized_segment_fusion(key):
     """Fused tracking with mixed scalar and batched element params."""
     beam = make_beam(key)
