@@ -4,6 +4,12 @@ JAX requires explicit PRNG keys. All stochastic constructors in this framework
 accept a ``key`` argument; for reference-style ergonomics (global torch seed,
 ``cheetah tests/conftest.py:155-211``) a module-level key sequence provides
 keys when none is passed. Call :func:`seed` for reproducibility.
+
+In a multi-process run (``jax.process_count() > 1``) the sequence folds
+``jax.process_index()`` into the seed, so hosts that rely on the default keys
+(e.g. via :func:`cheetah_tpu.parallel.process_local_beam` without ``key=``)
+draw *different* beams instead of silently identical "random" ones. Pass an
+explicit ``key`` for draws that must match across hosts.
 """
 
 from __future__ import annotations
@@ -15,8 +21,15 @@ _state: dict = {"key": None}
 
 
 def seed(value: int) -> None:
-    """Seed the global key sequence."""
-    _state["key"] = jax.random.PRNGKey(value)
+    """Seed the global key sequence.
+
+    In multi-process runs the seed is folded with ``jax.process_index()``:
+    same ``value`` on every host, different per-host streams.
+    """
+    key = jax.random.PRNGKey(value)
+    if jax.process_count() > 1:
+        key = jax.random.fold_in(key, jax.process_index())
+    _state["key"] = key
 
 
 def next_key() -> Array:

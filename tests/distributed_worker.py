@@ -205,6 +205,35 @@ def main() -> None:
     )
     np.testing.assert_allclose(local_new, expected_new, rtol=1e-12, atol=0.0)
 
+    # ------------------------------------------------------------------
+    # 4. Default-key draws are per-host distinct (utils.rng folds
+    #    jax.process_index() into the seed), while explicitly shared keys
+    #    still produce identical beams on every host.
+    # ------------------------------------------------------------------
+    from jax.experimental import multihost_utils
+
+    def beam_fingerprint(key=None) -> jnp.ndarray:
+        b = ct.ParticleBeam.from_parameters(
+            num_particles=64,
+            sigma_x=jnp.asarray(1e-4, F64),
+            energy=jnp.asarray(1e8, F64),
+            key=key,
+        )
+        return jnp.sum(b.particles)
+
+    default_fps = np.asarray(
+        multihost_utils.process_allgather(beam_fingerprint())
+    )
+    assert len(set(default_fps.tolist())) == NUM_PROCESSES, (
+        f"default-key beams identical across hosts: {default_fps}"
+    )
+    shared_fps = np.asarray(
+        multihost_utils.process_allgather(beam_fingerprint(jax.random.PRNGKey(3)))
+    )
+    assert len(set(shared_fps.tolist())) == 1, (
+        f"shared-key beams differ across hosts: {shared_fps}"
+    )
+
     print(f"[{PROCESS_ID}] DISTRIBUTED-OK", flush=True)
 
 
