@@ -86,6 +86,33 @@ ELEMENT_CASES = [
 ]
 
 
+# Per-element ParameterBeam-tracked golden variants (round-3 corpus
+# extension): indices into ELEMENT_CASES whose reference element supports
+# ParameterBeam tracking (everything linear; second_order / drift_kick_drift
+# are ParticleBeam-only in the reference too). Golden files are
+# ``param_{index:03d}_{class_name}.npz`` storing mu/cov/energy/s/total_charge.
+PARAMETER_ELEMENT_INDICES = [
+    0,  # Drift
+    3,  # Quadrupole
+    4,  # Quadrupole tilted + misaligned
+    8,  # Dipole full edge/fringe set
+    11,  # RBend
+    14,  # Sextupole (linear)
+    15,  # Solenoid misaligned
+    16,  # Undulator
+    18,  # Cavity standing wave
+    19,  # Cavity traveling wave
+    22,  # HorizontalCorrector
+    23,  # VerticalCorrector
+    24,  # CombinedCorrector
+    25,  # Marker
+    26,  # Aperture (pass-through + warning for ParameterBeam)
+    28,  # BPM
+    29,  # Screen
+    30,  # Screen blocking (zeroes total_charge)
+]
+
+
 # Composite golden cases: elements/lattices whose constructors take elements
 # or matrices, plus ParameterBeam-tracked variants. Each entry is a name plus
 # a pair of builders producing the same structure in both frameworks

@@ -61,6 +61,7 @@ def main() -> None:
     from element_zoo import (
         COMPOSITE_CASES,
         ELEMENT_CASES,
+        PARAMETER_ELEMENT_INDICES,
         build_ref_composite,
         build_ref_element,
     )
@@ -87,6 +88,36 @@ def main() -> None:
     import torch
 
     import cheetah as ref
+
+    def parameter_incoming():
+        return ref.ParameterBeam.from_parameters(
+            mu_x=torch.tensor(1e-4),
+            mu_px=torch.tensor(-2e-5),
+            sigma_x=torch.tensor(1.7e-4),
+            sigma_px=torch.tensor(4e-6),
+            sigma_y=torch.tensor(1.7e-4),
+            sigma_py=torch.tensor(4e-6),
+            sigma_tau=torch.tensor(1e-5),
+            sigma_p=torch.tensor(1e-3),
+            cov_xpx=torch.tensor(1e-10),
+            energy=torch.tensor(ENERGY),
+            total_charge=torch.tensor(1e-9),
+        )
+
+    # Per-element ParameterBeam-tracked variants (round-3 corpus extension).
+    for index in PARAMETER_ELEMENT_INDICES:
+        class_name, spec, _ = ELEMENT_CASES[index]
+        element = build_ref_element(class_name, spec)
+        outgoing = element.track(parameter_incoming())
+        np.savez_compressed(
+            RESOURCES / f"param_{index:03d}_{class_name}.npz",
+            mu=outgoing.mu.detach().numpy(),
+            cov=outgoing.cov.detach().numpy(),
+            energy=outgoing.energy.detach().numpy(),
+            s=outgoing.s.detach().numpy(),
+            total_charge=outgoing.total_charge.detach().numpy(),
+        )
+        print(f"wrote param_{index:03d}_{class_name}.npz")
 
     for name, beam_kind in COMPOSITE_CASES:
         element = build_ref_composite(name)

@@ -14,6 +14,7 @@ import pytest
 from element_zoo import (
     COMPOSITE_CASES,
     ELEMENT_CASES,
+    PARAMETER_ELEMENT_INDICES,
     build_jax_composite,
     build_jax_element,
 )
@@ -69,6 +70,67 @@ def test_golden_consistency(index, class_name, spec):
         golden["survival_probabilities"],
         rtol=1e-12,
         atol=0,
+    )
+    np.testing.assert_allclose(outgoing.s, golden["s"], rtol=1e-12, atol=1e-15)
+
+
+def make_parameter_incoming() -> ct.ParameterBeam:
+    return ct.ParameterBeam.from_parameters(
+        mu_x=jnp.asarray(1e-4, jnp.float64),
+        mu_px=jnp.asarray(-2e-5, jnp.float64),
+        sigma_x=jnp.asarray(1.7e-4, jnp.float64),
+        sigma_px=jnp.asarray(4e-6, jnp.float64),
+        sigma_y=jnp.asarray(1.7e-4, jnp.float64),
+        sigma_py=jnp.asarray(4e-6, jnp.float64),
+        sigma_tau=jnp.asarray(1e-5, jnp.float64),
+        sigma_p=jnp.asarray(1e-3, jnp.float64),
+        cov_xpx=jnp.asarray(1e-10, jnp.float64),
+        energy=jnp.asarray(1.5e8, jnp.float64),
+        total_charge=jnp.asarray(1e-9, jnp.float64),
+    )
+
+
+PARAMETER_GOLDEN_CASES = [
+    (index, ELEMENT_CASES[index][0], ELEMENT_CASES[index][1])
+    for index in PARAMETER_ELEMENT_INDICES
+]
+
+
+def test_parameter_corpus_is_complete():
+    for index, class_name, _ in PARAMETER_GOLDEN_CASES:
+        assert (RESOURCES / f"param_{index:03d}_{class_name}.npz").is_file(), (
+            f"missing ParameterBeam golden file for case {index} {class_name}; "
+            "regenerate with generate_consistency_corpus.py"
+        )
+
+
+@pytest.mark.parametrize(
+    "index,class_name,spec",
+    PARAMETER_GOLDEN_CASES,
+    ids=[f"{c}-{i}" for i, c, _ in PARAMETER_GOLDEN_CASES],
+)
+def test_golden_consistency_parameter_beam(index, class_name, spec):
+    """Per-element ParameterBeam-tracked golden variants (round-3 corpus
+    extension; the reference regenerates its corpus per Element x BeamClass,
+    ``tests/test_elements.py:355-432``)."""
+    import warnings
+
+    element = build_jax_element(class_name, spec)
+    with warnings.catch_warnings():
+        # Aperture pass-through for ParameterBeam warns in both frameworks.
+        warnings.simplefilter("ignore")
+        outgoing = element.track(make_parameter_incoming())
+
+    golden = np.load(RESOURCES / f"param_{index:03d}_{class_name}.npz")
+    np.testing.assert_allclose(
+        outgoing.mu, golden["mu"], rtol=1e-8, atol=1e-14, err_msg=class_name
+    )
+    np.testing.assert_allclose(
+        outgoing.cov, golden["cov"], rtol=1e-8, atol=1e-18, err_msg=class_name
+    )
+    np.testing.assert_allclose(outgoing.energy, golden["energy"], rtol=1e-12)
+    np.testing.assert_allclose(
+        outgoing.total_charge, golden["total_charge"], rtol=1e-12, atol=0
     )
     np.testing.assert_allclose(outgoing.s, golden["s"], rtol=1e-12, atol=1e-15)
 
