@@ -1,0 +1,291 @@
+"""Quadrupole edge cases (analogue of the reference's ``tests/test_quadrupole.py``)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cheetah_tpu as ct
+from cheetah_tpu.ops.transfer_maps import rotation_matrix
+
+F64 = jnp.float64
+
+
+def _parameter_beam():
+    return ct.ParameterBeam.from_parameters(
+        sigma_px=jnp.asarray(2e-7, F64), sigma_py=jnp.asarray(2e-7, F64)
+    )
+
+
+def _particle_beam(num_particles=10_000, **kwargs):
+    import jax
+
+    defaults = dict(
+        num_particles=num_particles,
+        energy=jnp.asarray(1e9, F64),
+        mu_x=jnp.asarray(1e-5, F64),
+        key=jax.random.PRNGKey(42),
+    )
+    defaults.update(kwargs)
+    return ct.ParticleBeam.from_parameters(**defaults)
+
+
+def test_quadrupole_off_is_a_drift():
+    """k1=0 tracks like a drift; k1!=0 does not (ref ``test_quadrupole.py:7-27``)."""
+    quadrupole = ct.Quadrupole(length=jnp.asarray(1.0, F64), k1=jnp.asarray(0.0, F64))
+    drift = ct.Drift(length=jnp.asarray(1.0, F64))
+    incoming = _parameter_beam()
+
+    off = quadrupole.track(incoming)
+    reference = drift.track(incoming)
+    quadrupole.k1 = jnp.asarray(1.0, F64)
+    on = quadrupole.track(incoming)
+
+    np.testing.assert_allclose(off.sigma_x, reference.sigma_x, rtol=1e-12)
+    assert not np.allclose(on.sigma_x, reference.sigma_x)
+
+
+def test_quadrupole_with_misalignments():
+    """A misaligned quadrupole steers the beam (ref ``test_quadrupole.py:30-54``)."""
+    misaligned = ct.Quadrupole(
+        length=jnp.asarray(1.0, F64),
+        k1=jnp.asarray(1.0, F64),
+        misalignment=jnp.asarray([[0.1, 0.1]], F64),
+    )
+    aligned = ct.Quadrupole(length=jnp.asarray(1.0, F64), k1=jnp.asarray(1.0, F64))
+    incoming = _parameter_beam()
+
+    assert not np.allclose(
+        misaligned.track(incoming).mu_x, aligned.track(incoming).mu_x
+    )
+
+
+def test_quadrupole_with_misalignments_multiple_vector_dimensions():
+    """(4, 3, 2) misalignment batch shapes flow through ParameterBeam tracking
+    (ref ``test_quadrupole.py:57-84``)."""
+    import jax
+
+    misalignment = (
+        jax.random.normal(jax.random.PRNGKey(0), (4, 3, 2), dtype=F64) * 5e-4
+    )
+    misaligned = ct.Quadrupole(
+        length=jnp.asarray(1.0, F64),
+        k1=jnp.asarray(1.0, F64),
+        misalignment=misalignment,
+    )
+    aligned = ct.Quadrupole(length=jnp.asarray(1.0, F64), k1=jnp.asarray(1.0, F64))
+    incoming = _parameter_beam()
+
+    outgoing = misaligned.track(incoming)
+
+    assert outgoing.mu_x.shape == (4, 3)
+    assert not np.allclose(outgoing.mu_x, aligned.track(incoming).mu_x)
+
+
+def test_tilted_quadrupole_rotation_period():
+    """pi/4 and 5pi/4 tilts are identical for a quadrupole; pi/2 is not (ref
+    ``test_quadrupole.py:87-110``)."""
+    incoming = _particle_beam()
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(
+                length=jnp.asarray(0.5, F64),
+                k1=jnp.asarray(1.0, F64),
+                tilt=jnp.asarray([np.pi / 4, np.pi / 2, np.pi * 5 / 4], F64),
+            ),
+            ct.Drift(length=jnp.asarray(0.5, F64)),
+        ]
+    )
+    outgoing = segment.track(incoming)
+
+    np.testing.assert_allclose(
+        outgoing.particles[0], outgoing.particles[2], rtol=1e-10, atol=1e-16
+    )
+    assert not np.allclose(outgoing.particles[0], outgoing.particles[1])
+
+
+def test_tilted_quadrupole_multiple_vector_dimensions():
+    """Tilt batches with multiple vector dimensions keep the tilt symmetry per
+    entry (ref ``test_quadrupole.py:113-146``)."""
+    tilt = jnp.asarray(
+        [
+            [np.pi / 4, np.pi / 2, np.pi * 5 / 4],
+            [np.pi * 5 / 4, np.pi / 2, np.pi / 4],
+        ],
+        F64,
+    )
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(
+                length=jnp.asarray(0.5, F64), k1=jnp.asarray(1.0, F64), tilt=tilt
+            ),
+            ct.Drift(length=jnp.asarray(0.5, F64)),
+        ]
+    )
+    incoming = _particle_beam(num_particles=1_000)
+
+    outgoing = segment.track(incoming)
+
+    assert outgoing.particles.shape == (2, 3, 1_000, 7)
+    np.testing.assert_allclose(
+        outgoing.particles[0, 0], outgoing.particles[1, 2], rtol=1e-10, atol=1e-16
+    )
+    np.testing.assert_allclose(
+        outgoing.particles[0, 1], outgoing.particles[1, 1], rtol=1e-10, atol=1e-16
+    )
+    np.testing.assert_allclose(
+        outgoing.particles[0, 2], outgoing.particles[1, 0], rtol=1e-10, atol=1e-16
+    )
+
+
+def test_quadrupole_length_multiple_vector_dimensions():
+    """Batched lengths broadcast through a segment; equal (length, k1) cells
+    give equal outputs (ref ``test_quadrupole.py:149-169``)."""
+    lengths = jnp.asarray([[0.2, 0.3, 0.4], [0.5, 0.4, 0.7]], F64)
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(length=lengths, k1=jnp.asarray(4.2, F64)),
+            ct.Drift(length=lengths * 2),
+        ]
+    )
+    incoming = _particle_beam(num_particles=1_000)
+
+    outgoing = segment.track(incoming)
+
+    assert outgoing.particles.shape == (2, 3, 1_000, 7)
+    np.testing.assert_allclose(
+        outgoing.particles[0, 2], outgoing.particles[1, 1], rtol=1e-10, atol=1e-16
+    )
+
+
+def test_tilted_quadrupole_tilt_sanity():
+    """Tracking a beam through a tilted quadrupole equals rotating the beam,
+    tracking through the untilted magnet, and rotating back."""
+    tilt = 0.37
+    incoming = _particle_beam(
+        sigma_x=jnp.asarray(2e-4, F64),
+        sigma_y=jnp.asarray(1e-4, F64),
+        sigma_p=jnp.asarray(1e-3, F64),
+    )
+    tilted = ct.Quadrupole(
+        length=jnp.asarray(0.5, F64),
+        k1=jnp.asarray(8.0, F64),
+        tilt=jnp.asarray(tilt, F64),
+    )
+    untilted = ct.Quadrupole(length=jnp.asarray(0.5, F64), k1=jnp.asarray(8.0, F64))
+
+    direct = tilted.track(incoming).particles
+
+    rotated_in = ct.ParticleBeam(
+        particles=incoming.particles @ rotation_matrix(jnp.asarray(tilt, F64)).T,
+        energy=incoming.energy,
+        species=incoming.species,
+    )
+    rotated_back = untilted.track(rotated_in).particles @ rotation_matrix(
+        jnp.asarray(-tilt, F64)
+    ).T
+
+    np.testing.assert_allclose(direct, rotated_back, rtol=1e-9, atol=1e-18)
+
+
+def test_drift_kick_drift_converges_to_linear_at_small_strength():
+    """For a weak quadrupole the dkd integrator must converge to the linear
+    map as the strength goes to zero (VERDICT round-2 weak #5)."""
+    # Near-monochromatic beam (tiny but non-singular sigma_p) so the exact
+    # dkd drift and the paraxial linear drift agree in the k1 -> 0 limit.
+    incoming = _particle_beam(
+        num_particles=1_000,
+        sigma_x=jnp.asarray(1e-4, F64),
+        sigma_y=jnp.asarray(1e-4, F64),
+        sigma_p=jnp.asarray(1e-15, F64),
+    )
+
+    def deviation(k1: float) -> float:
+        linear = ct.Quadrupole(length=jnp.asarray(0.5, F64), k1=jnp.asarray(k1, F64))
+        dkd = ct.Quadrupole(
+            length=jnp.asarray(0.5, F64),
+            k1=jnp.asarray(k1, F64),
+            num_steps=20,
+            tracking_method="drift_kick_drift",
+        )
+        diff = dkd.track(incoming).particles - linear.track(incoming).particles
+        return float(jnp.max(jnp.abs(diff)))
+
+    # The dkd<->linear disagreement must shrink with the strength (both limits
+    # approach the pure drift) and be tiny for a near-off magnet.
+    deviations = [deviation(k1) for k1 in (10.0, 1.0, 0.1, 0.001)]
+    assert deviations[0] > deviations[1] > deviations[2] > deviations[3]
+    assert deviations[-1] < 1e-10
+
+
+@pytest.mark.parametrize(
+    "tracking_method", ["linear", "second_order", "drift_kick_drift"]
+)
+def test_tracking_method_vectorization_shapes(tracking_method):
+    """All tracking methods support (3, 2) element x beam batches (ref
+    ``test_quadrupole.py:210-242``)."""
+    quadrupole = ct.Quadrupole(
+        length=jnp.asarray([[0.2, 0.25], [0.3, 0.35], [0.4, 0.45]], F64),
+        k1=jnp.asarray([[4.2, 4.2], [4.3, 4.3], [4.4, 4.4]], F64),
+        misalignment=jnp.zeros(2, F64),
+        tilt=jnp.asarray(0.0, F64),
+        tracking_method=tracking_method,
+    )
+    incoming = ct.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.asarray([[1e-5, 2e-5], [2e-5, 3e-5], [3e-5, 4e-5]], F64),
+    )
+
+    outgoing = quadrupole.track(incoming)
+
+    for attr in (
+        "mu_x",
+        "mu_px",
+        "mu_y",
+        "mu_py",
+        "sigma_x",
+        "sigma_px",
+        "sigma_y",
+        "sigma_py",
+        "sigma_tau",
+        "sigma_p",
+    ):
+        assert getattr(outgoing, attr).shape == (3, 2), attr
+    assert jnp.asarray(outgoing.energy).shape == ()
+    assert jnp.asarray(outgoing.total_charge).shape == ()
+
+
+@pytest.mark.parametrize(
+    "tracking_method", ["linear", "second_order", "drift_kick_drift"]
+)
+def test_quadrupole_clone_preserves_tracking_method(tracking_method):
+    quadrupole = ct.Quadrupole(
+        length=jnp.asarray(1.0, F64),
+        k1=jnp.asarray(1.0, F64),
+        tracking_method=tracking_method,
+    )
+    assert quadrupole.clone().tracking_method == tracking_method
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64], ids=["f32", "f64"])
+def test_tilted_quad_transfer_matrix_precision(dtype):
+    """A k1=0 quadrupole's transfer matrix equals a drift's at dtype precision
+    even when tilted (ref ``test_quadrupole.py:265-292``)."""
+    length = jnp.asarray(0.5, dtype)
+    quad = ct.Quadrupole(length=length, k1=jnp.asarray(0.0, dtype))
+    skew_quad = ct.Quadrupole(
+        length=length,
+        k1=jnp.asarray(0.0, dtype),
+        tilt=jnp.asarray(np.pi / 4, dtype),
+    )
+    drift = ct.Drift(length=length)
+
+    energy = jnp.asarray(1e9, dtype)
+    species = ct.Species("electron", dtype=dtype)
+
+    tm_drift = drift.first_order_transfer_map(energy, species)
+    np.testing.assert_allclose(
+        quad.first_order_transfer_map(energy, species), tm_drift, atol=2e-7
+    )
+    np.testing.assert_allclose(
+        skew_quad.first_order_transfer_map(energy, species), tm_drift, atol=2e-7
+    )

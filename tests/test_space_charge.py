@@ -104,6 +104,167 @@ def test_cold_uniform_beam_expansion(energy, key):
     )
 
 
+def test_vectorized_multi_charge_expansion(key):
+    """The cold-beam doubling holds per-instance for a (3, 2) vectorised
+    charge batch (ref ``tests/test_space_charge_kick.py:74-125``)."""
+    R0 = 0.001
+    energy = 2.5e8
+    gamma = energy / constants.electron_mass_eV
+    beta = float(np.sqrt(1 - 1 / gamma**2))
+
+    incoming = ct.ParticleBeam.uniform_3d_ellipsoid(
+        num_particles=50_000,
+        total_charge=jnp.full((3, 2), 1e-8, jnp.float64),
+        energy=jnp.array(energy, jnp.float64),
+        radius_x=jnp.array(R0, jnp.float64),
+        radius_y=jnp.array(R0, jnp.float64),
+        radius_tau=jnp.array(R0 / gamma / beta, jnp.float64),
+        sigma_px=jnp.array(1e-15, jnp.float64),
+        sigma_py=jnp.array(1e-15, jnp.float64),
+        sigma_p=jnp.array(1e-15, jnp.float64),
+        key=key,
+    )
+
+    kappa = 1 + (np.sqrt(2) / 4) * np.log(3 + 2 * np.sqrt(2))
+    Nb = 1e-8 / constants.elementary_charge
+    section_length = jnp.array(
+        beta * gamma * kappa * np.sqrt(R0**3 / (Nb * constants.electron_radius)),
+        jnp.float64,
+    )
+
+    segment = ct.Segment(
+        [
+            ct.Drift(section_length / 6),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 6),
+        ]
+    )
+    outgoing = jax.jit(lambda seg, beam: seg.track(beam))(segment, incoming)
+
+    assert outgoing.sigma_x.shape == (3, 2)
+    np.testing.assert_allclose(outgoing.sigma_x, 2 * incoming.sigma_x, rtol=2e-2)
+    np.testing.assert_allclose(outgoing.sigma_y, 2 * incoming.sigma_y, rtol=2e-2)
+    np.testing.assert_allclose(
+        outgoing.sigma_tau, 2 * incoming.sigma_tau, rtol=2e-2
+    )
+
+
+def test_grid_extent_sensitivity(key):
+    """The kick is insensitive to a reasonable change of the grid half-extent
+    (3 -> 4 sigma): the solver must have converged in the domain size."""
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=5_000,
+        sigma_x=jnp.array(2e-4, jnp.float64),
+        sigma_y=jnp.array(2e-4, jnp.float64),
+        sigma_tau=jnp.array(1e-4, jnp.float64),
+        total_charge=jnp.array(1e-9, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+
+    def kick_delta(extent: float) -> np.ndarray:
+        kick = ct.SpaceChargeKick(
+            jnp.array(0.5, jnp.float64),
+            grid_shape=(32, 32, 32),
+            grid_extent_x=jnp.array(extent, jnp.float64),
+            grid_extent_y=jnp.array(extent, jnp.float64),
+            grid_extent_tau=jnp.array(extent, jnp.float64),
+        )
+        out = kick.track(beam)
+        return np.asarray(out.particles[..., 1] - beam.particles[..., 1])
+
+    delta_3 = kick_delta(3.0)
+    delta_4 = kick_delta(4.0)
+
+    rms_3 = float(np.sqrt(np.mean(delta_3**2)))
+    rms_4 = float(np.sqrt(np.mean(delta_4**2)))
+    assert rms_3 > 0
+    # Same physics on both domains, to within grid-resolution effects.
+    assert abs(rms_4 - rms_3) / rms_3 < 0.1
+
+
+def test_does_not_break_segment_length():
+    """``Segment.length`` stays a scalar with SpaceChargeKick elements in the
+    lattice (ref ``tests/test_space_charge_kick.py:330-351``)."""
+    section_length = jnp.array(1.0, jnp.float64)
+    segment = ct.Segment(
+        [
+            ct.Drift(section_length / 6),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 3),
+            ct.SpaceChargeKick(section_length / 3),
+            ct.Drift(section_length / 6),
+        ]
+    )
+    assert jnp.asarray(segment.length).shape == ()
+    assert float(segment.length) == pytest.approx(1.0)
+
+
+def test_space_charge_with_aperture_cutoff(key):
+    """The kick sees only surviving particles: activating an upstream
+    aperture changes the result (ref ``tests/test_space_charge_kick.py:369-409``)."""
+    def make_segment(is_active: bool) -> ct.Segment:
+        return ct.Segment(
+            [
+                ct.Drift(length=jnp.array(0.2, jnp.float64)),
+                ct.Aperture(
+                    x_max=jnp.array(1e-4, jnp.float64),
+                    y_max=jnp.array(1e-4, jnp.float64),
+                    shape="rectangular",
+                    is_active=is_active,
+                    name="aperture",
+                ),
+                ct.Drift(length=jnp.array(0.25, jnp.float64)),
+                ct.SpaceChargeKick(effect_length=jnp.array(0.5, jnp.float64)),
+                ct.Drift(length=jnp.array(0.25, jnp.float64)),
+            ]
+        )
+
+    incoming = ct.ParticleBeam.from_parameters(
+        num_particles=10_000,
+        total_charge=jnp.array(1e-9, jnp.float64),
+        mu_x=jnp.array(5e-5, jnp.float64),
+        sigma_px=jnp.array(1e-4, jnp.float64),
+        sigma_py=jnp.array(1e-4, jnp.float64),
+        key=key,
+    )
+
+    without_aperture = make_segment(False).track(incoming)
+    with_aperture = make_segment(True).track(incoming)
+
+    assert not np.allclose(
+        np.asarray(with_aperture.particles),
+        np.asarray(without_aperture.particles),
+        rtol=1e-6,
+        atol=0,
+    )
+    assert float(jnp.sum(with_aperture.survival_probabilities)) < 10_000
+
+
+def test_incoming_beam_not_modified_by_space_charge(key):
+    """Tracking must not mutate the incoming beam (ref
+    ``tests/test_space_charge_kick.py:171-201``)."""
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.array(2e-4, jnp.float64),
+        total_charge=jnp.array(1e-9, jnp.float64),
+        energy=jnp.array(1e8, jnp.float64),
+        key=key,
+    )
+    before = np.asarray(beam.particles).copy()
+
+    kick = ct.SpaceChargeKick(jnp.array(0.5, jnp.float64), grid_shape=(8, 8, 8))
+    _ = kick.track(beam)
+
+    np.testing.assert_array_equal(np.asarray(beam.particles), before)
+
+
 def test_space_charge_differentiable(key):
     """Gradients flow through deposit -> FFT solve -> gather."""
     beam = ct.ParticleBeam.from_parameters(
