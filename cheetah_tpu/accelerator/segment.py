@@ -118,10 +118,16 @@ class Segment(Element):
         return self.__class__(subcell)
 
     def flattened(self) -> "Segment":
-        """Resolve all nested segments into a single flat segment."""
+        """Resolve all nested segments (and ``Superimposed`` internals, ref
+        ``segment.py`` flattening + ``tests/test_superimposed.py``) into a
+        single flat segment."""
+        from cheetah_tpu.accelerator.superimposed import Superimposed
+
         flattened_elements = []
         for element in self.elements:
             if isinstance(element, Segment):
+                flattened_elements += element.flattened().elements
+            elif isinstance(element, Superimposed):
                 flattened_elements += element.flattened().elements
             else:
                 flattened_elements.append(element)
@@ -508,10 +514,17 @@ class Segment(Element):
 
         :return: ``(outgoing_beam, readings)``.
         """
+        from cheetah_tpu.accelerator.superimposed import Superimposed
+
         readings: dict[str, Array] = {}
         for element in self.elements:
             if isinstance(element, Segment):
                 incoming, sub_readings = element.track_with_readings(incoming)
+                readings.update(sub_readings)
+            elif isinstance(element, Superimposed):
+                incoming, sub_readings = element._segment().track_with_readings(
+                    incoming
+                )
                 readings.update(sub_readings)
             else:
                 if hasattr(element, "observe") and getattr(
