@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -108,12 +107,28 @@ class Quadrupole(Element):
 
     def _track_drift_kick_drift(self, incoming: Beam) -> Beam:
         """Momentum-dependent drift-kick-drift tracking via Bmad-X quadrupole
-        coefficient matrices (ref ``quadrupole.py:168-251``).
+        coefficient matrices (ref ``quadrupole.py:168-251``) — evaluated in
+        closed form, without the reference's step loop.
 
-        The per-step coefficients depend only on ``pz`` (constant through the
-        element), so they are computed once and the step map is applied with a
-        ``lax.scan`` — the TPU equivalent of the reference's unrolled Python
-        step loop (``quadrupole.py:203-227``).
+        The reference applies the same step map ``num_steps`` times: ``pz`` is
+        constant through the element, so every step uses identical
+        coefficients. That composition collapses exactly:
+
+        - The 2x2 transverse matrices form a one-parameter group in the
+          length, ``A(L/n)^n == A(L)`` (cos/sin and cosh/sinh addition laws).
+        - The per-step z quadratic form ``c1 x^2 + c2 x px + c3 px^2`` is the
+          exact integral of the longitudinal slip along the (exactly linear)
+          transverse flow over one step, so the sum over steps telescopes to
+          the full-length form: ``sum_i q_{L/n}(A^i v) == q_L(v)``.
+        - ``low_energy_z_correction`` is linear in ``ds`` (both branches and
+          a ``ds``-independent switch), so ``n * corr(L/n) == corr(L)``.
+
+        The result is bit-compatible with the stepped reference up to float
+        round-off (validated against the live torch oracle with
+        ``num_steps=5`` and against external Bmad-X ground truth in
+        ``tests/test_compare_bmadx_dkd.py``) and turns the stepped scan into
+        ONE fused elementwise pass over the particle arrays — ``num_steps``
+        no longer affects cost or result for this element.
         """
         assert isinstance(
             incoming, ParticleBeam
@@ -129,7 +144,6 @@ class Quadrupole(Element):
 
         x_offset = self.misalignment[..., 0]
         y_offset = self.misalignment[..., 1]
-        step_length = self.length / self.num_steps
 
         x, px, y, py = bmadx.offset_particle_set(
             x_offset, y_offset, self.tilt, x, px, y, py
@@ -138,50 +152,22 @@ class Quadrupole(Element):
         rel_p = 1.0 + pz  # Particle's relative momentum (P/P0)
         k1 = self.k1[..., None] / rel_p
 
-        tx, dzx = bmadx.calculate_quadrupole_coefficients(-k1, step_length, rel_p)
-        ty, dzy = bmadx.calculate_quadrupole_coefficients(k1, step_length, rel_p)
-        dz_low_energy = bmadx.low_energy_z_correction(pz, p0c, mc2, step_length)
+        tx, dzx = bmadx.calculate_quadrupole_coefficients(-k1, self.length, rel_p)
+        ty, dzy = bmadx.calculate_quadrupole_coefficients(k1, self.length, rel_p)
+        dz_low_energy = bmadx.low_energy_z_correction(pz, p0c, mc2, self.length)
 
-        def step(carry, _):
-            x, px, y, py, z = carry
-            z = (
-                z
-                + dzx[0] * jnp.square(x)
-                + dzx[1] * x * px
-                + dzx[2] * jnp.square(px)
-                + dzy[0] * jnp.square(y)
-                + dzy[1] * y * py
-                + dzy[2] * jnp.square(py)
-            )
-            x_next = tx[0][0] * x + tx[0][1] * px
-            px_next = tx[1][0] * x + tx[1][1] * px
-            y_next = ty[0][0] * y + ty[0][1] * py
-            py_next = ty[1][0] * y + ty[1][1] * py
-            z = z + dz_low_energy
-            return (x_next, px_next, y_next, py_next, z), None
-
-        # The scan carry must already have the broadcast shape of one step's
-        # output (batched element parameters enter through the coefficients).
-        carry_shape = jnp.broadcast_shapes(
-            x.shape, tx[0][0].shape, dz_low_energy.shape
+        z = (
+            z
+            + dzx[0] * jnp.square(x)
+            + dzx[1] * x * px
+            + dzx[2] * jnp.square(px)
+            + dzy[0] * jnp.square(y)
+            + dzy[1] * y * py
+            + dzy[2] * jnp.square(py)
+            + dz_low_energy
         )
-        x, px, y, py, z = (
-            jnp.broadcast_to(value, carry_shape)
-            for value in (x, px, y, py, z + jnp.zeros_like(pz))
-        )
-        # Unroll small step counts: the body is pure elementwise, so an
-        # unrolled chain fuses into ONE pass over the particle arrays
-        # instead of one carry materialisation per step (the scan carry
-        # round-trips ~10 x (B, N) arrays through HBM per step at large
-        # batch). Cap the unroll so huge num_steps keep compile time sane.
-        # (A plain Python loop measured SLOWER than scan-with-unroll on the
-        # 4096x10k dkd env step: 23.7 vs 18.3 ms — keep the scan.)
-        (x, px, y, py, z), _ = jax.lax.scan(
-            step,
-            (x, px, y, py, z),
-            length=self.num_steps,
-            unroll=min(self.num_steps, 8),
-        )
+        x, px = tx[0][0] * x + tx[0][1] * px, tx[1][0] * x + tx[1][1] * px
+        y, py = ty[0][0] * y + ty[0][1] * py, ty[1][0] * y + ty[1][1] * py
 
         x, px, y, py = bmadx.offset_particle_unset(
             x_offset, y_offset, self.tilt, x, px, y, py

@@ -289,3 +289,73 @@ def test_tilted_quad_transfer_matrix_precision(dtype):
     np.testing.assert_allclose(
         skew_quad.first_order_transfer_map(energy, species), tm_drift, atol=2e-7
     )
+
+
+def test_dkd_closed_form_equals_stepped_composition(key):
+    """The closed-form dkd evaluation (``quadrupole.py``
+    ``_track_drift_kick_drift`` docstring) is algebraically identical to the
+    reference's ``num_steps``-fold step loop: the transverse matrices form a
+    one-parameter group, the z quadratic form telescopes, and the low-energy
+    correction is linear in ``ds``. This pins the identity numerically for
+    both k1 signs and several step counts."""
+    from cheetah_tpu.utils import bmadx
+
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=2_000,
+        sigma_x=jnp.asarray(2e-4, F64),
+        sigma_px=jnp.asarray(3e-5, F64),
+        sigma_y=jnp.asarray(1.5e-4, F64),
+        sigma_py=jnp.asarray(2e-5, F64),
+        sigma_tau=jnp.asarray(1e-4, F64),
+        sigma_p=jnp.asarray(5e-3, F64),
+        energy=jnp.asarray(6e7, F64),
+        key=key,
+    )
+
+    def stepped(quad, beam, n):
+        """The reference's step loop (``quadrupole.py:203-227``), verbatim
+        semantics."""
+        mc2 = beam.species.mass_eV
+        x, px, y, py = beam.x, beam.px, beam.y, beam.py
+        z, pz, p0c = bmadx.cheetah_to_bmad_z_pz(
+            beam.tau, beam.p, beam.energy, mc2
+        )
+        rel_p = 1.0 + pz
+        k1 = quad.k1[..., None] / rel_p
+        step_length = quad.length / n
+        tx, dzx = bmadx.calculate_quadrupole_coefficients(-k1, step_length, rel_p)
+        ty, dzy = bmadx.calculate_quadrupole_coefficients(k1, step_length, rel_p)
+        dz_low = bmadx.low_energy_z_correction(pz, p0c, mc2, step_length)
+        for _ in range(n):
+            z = (
+                z
+                + dzx[0] * x**2
+                + dzx[1] * x * px
+                + dzx[2] * px**2
+                + dzy[0] * y**2
+                + dzy[1] * y * py
+                + dzy[2] * py**2
+            )
+            x, px = tx[0][0] * x + tx[0][1] * px, tx[1][0] * x + tx[1][1] * px
+            y, py = ty[0][0] * y + ty[0][1] * py, ty[1][0] * y + ty[1][1] * py
+            z = z + dz_low
+        tau, delta, _ = bmadx.bmad_to_cheetah_z_pz(z, pz, p0c, mc2)
+        return jnp.stack(jnp.broadcast_arrays(x, px, y, py, tau, delta), axis=-1)
+
+    for k1_value in (31.0, -24.0, 0.0):
+        for num_steps in (1, 5, 20):
+            quad = ct.Quadrupole(
+                length=jnp.asarray(0.31, F64),
+                k1=jnp.asarray(k1_value, F64),
+                num_steps=num_steps,
+                tracking_method="drift_kick_drift",
+            )
+            closed = quad.track(beam).particles[..., :6]
+            reference = stepped(quad, beam, num_steps)
+            np.testing.assert_allclose(
+                np.asarray(closed),
+                np.asarray(reference),
+                rtol=0,
+                atol=1e-14,
+                err_msg=f"k1={k1_value}, num_steps={num_steps}",
+            )
