@@ -420,3 +420,98 @@ def test_lattice_json_interop_with_reference(tmp_path, key):
     np.testing.assert_allclose(
         out.particles, to_numpy(ref_out.particles), rtol=1e-9, atol=1e-14
     )
+
+
+# ----------------------------------------------------------------------
+# Elegant extras: reversed beamline, SDDS beam import
+# ----------------------------------------------------------------------
+
+
+def test_elegant_reversed_beamline_import():
+    """A ``line=(-fodo)`` reversed beamline imports as the element-wise
+    reverse of the forward line (ref ``test_elegant_conversion.py:123-138``)."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        forward = ct.Segment.from_elegant(
+            f"{RESOURCES}/fodo.lte", "fodo", sanitize_names=True,
+            dtype=jnp.float64,
+        )
+        reversed_import = ct.Segment.from_elegant(
+            f"{RESOURCES}/fodo.lte", "reversed_fodo", sanitize_names=True,
+            dtype=jnp.float64,
+        ).flattened()
+
+    correct = forward.reversed()
+    assert [e.name for e in reversed_import.elements] == [
+        e.name for e in correct.elements
+    ]
+    np.testing.assert_allclose(
+        float(reversed_import.length), float(forward.length), rtol=1e-12
+    )
+
+
+def test_elegant_sdds_beam_import(tmp_path):
+    """``ParticleBeam.from_elegant`` reads an ASCII SDDS beam via the
+    built-in reader (no ``sdds`` package on this host — the torch reference
+    hard-requires it, ref ``elegant.py:468-474``). The coordinate conversion
+    is oracled against the reference's ``elegant_to_cheetah_coordinates``."""
+    import torch
+    from cheetah.converters.elegant import (
+        elegant_to_cheetah_coordinates as ref_convert,
+    )
+
+    p_central = 300.0  # beta*gamma ~ 153 MeV electrons
+    rows = [
+        # x, xp, y, yp, t, p — first particle exactly on reference momentum
+        [1e-3, 0.0, 0.0, 0.0, 0.0, p_central],
+        [-2e-4, 1e-4, 3e-4, -2e-4, 1e-12, 1.05 * p_central],
+        [5e-4, -3e-4, -1e-4, 2e-4, -2e-12, 0.95 * p_central],
+    ]
+    charges = [1e-12, 2e-12, 3e-12]
+    lines = [
+        "SDDS1",
+        "&parameter name=pCentral, type=double, &end",
+        "&column name=x, type=double, &end",
+        "&column name=xp, type=double, &end",
+        "&column name=y, type=double, &end",
+        "&column name=yp, type=double, &end",
+        "&column name=t, type=double, &end",
+        "&column name=p, type=double, &end",
+        "&column name=q, type=double, &end",
+        "&data mode=ascii, &end",
+        f"{p_central}",
+        f"{len(rows)}",
+    ] + [
+        " ".join(f"{value:.17g}" for value in row + [charge])
+        for row, charge in zip(rows, charges)
+    ]
+    path = tmp_path / "beam.sdds"
+    path.write_text("\n".join(lines) + "\n")
+
+    beam = ct.ParticleBeam.from_elegant(str(path), dtype=jnp.float64)
+
+    assert beam.num_particles == 3
+    # Oracle: the torch reference's coordinate conversion on the same data.
+    expected = ref_convert(
+        torch.tensor([rows], dtype=torch.float64),
+        torch.tensor(p_central, dtype=torch.float64),
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(beam.particles[..., :6]).reshape(3, 6),
+        expected.numpy()[..., :6],
+        rtol=1e-12,
+        atol=1e-18,
+    )
+    np.testing.assert_allclose(
+        np.asarray(beam.particle_charges).reshape(3), charges, rtol=1e-12
+    )
+    # On-momentum zero-angle particle: identity coordinates.
+    first = np.asarray(beam.particles).reshape(3, 7)[0]
+    np.testing.assert_allclose(first[:6], [1e-3, 0, 0, 0, 0, 0], atol=1e-15)
+    # Reference energy from pCentral.
+    me = 510998.95069
+    np.testing.assert_allclose(
+        float(jnp.squeeze(beam.energy)),
+        np.sqrt((p_central * me) ** 2 + me**2),
+        rtol=1e-12,
+    )
