@@ -114,3 +114,71 @@ def test_optimization_passes_preserve_tracking(key):
     np.testing.assert_allclose(
         out.particles, expected.particles, rtol=1e-9, atol=1e-14
     )
+
+
+def test_no_markers_left_after_removal():
+    """Every Marker is gone unless excepted (ref
+    ``test_speed_optimizations.py:107-125``)."""
+    segment = ct.Segment(
+        [
+            ct.Marker(name="m0"),
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+            ct.Marker(name="m1"),
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+            ct.Marker(name="m2"),
+        ]
+    )
+    cleaned = segment.without_inactive_markers()
+    assert not any(isinstance(e, ct.Marker) for e in cleaned.elements)
+
+    kept = segment.without_inactive_markers(except_for=["m1"])
+    assert [e.name for e in kept.elements if isinstance(e, ct.Marker)] == ["m1"]
+
+
+def test_inactive_magnet_is_replaced_by_drift():
+    """k1=0 quads become drifts; active ones and excepted names stay (ref
+    ``test_speed_optimizations.py:128-199``)."""
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(jnp.asarray(0.3, jnp.float64), k1=jnp.asarray(0.0, jnp.float64), name="q_off"),
+            ct.Quadrupole(jnp.asarray(0.3, jnp.float64), k1=jnp.asarray(4.0, jnp.float64), name="q_on"),
+            ct.Quadrupole(jnp.asarray(0.3, jnp.float64), k1=jnp.asarray(0.0, jnp.float64), name="q_keep"),
+        ]
+    )
+    as_drifts = segment.inactive_elements_as_drifts(except_for=["q_keep"])
+
+    assert isinstance(as_drifts.elements[0], ct.Drift)
+    assert as_drifts.elements[0].name == "q_off"
+    assert isinstance(as_drifts.elements[1], ct.Quadrupole)  # active stays
+    assert isinstance(as_drifts.elements[2], ct.Quadrupole)  # excepted stays
+    np.testing.assert_allclose(float(as_drifts.length), float(segment.length))
+
+
+def test_inactive_drift_replacement_preserves_dtype():
+    for dtype in (jnp.float32, jnp.float64):
+        segment = ct.Segment(
+            [ct.Quadrupole(jnp.asarray(0.3, dtype), k1=jnp.asarray(0.0, dtype))]
+        )
+        drifted = segment.inactive_elements_as_drifts()
+        assert drifted.elements[0].length.dtype == dtype
+
+
+def test_without_zero_length_elements():
+    """Inactive zero-length elements vanish; active diagnostics stay (ref
+    ``test_speed_optimizations.py:238-262``)."""
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+            ct.BPM(name="bpm_off", is_active=False),
+            ct.BPM(name="bpm_on", is_active=True),
+            ct.Marker(name="m"),
+            ct.Drift(jnp.asarray(0.5, jnp.float64)),
+        ]
+    )
+    cleaned = segment.without_inactive_zero_length_elements()
+
+    names = [e.name for e in cleaned.elements]
+    assert "bpm_off" not in names
+    assert "m" not in names
+    assert "bpm_on" in names
+    np.testing.assert_allclose(float(cleaned.length), float(segment.length))
