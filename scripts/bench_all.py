@@ -31,7 +31,20 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-HBM_GBPS = {"tpu": 819.0}  # v5e peak HBM bandwidth
+# Peak HBM bandwidth by device kind (GB/s). The roofline denominators must
+# match the chip actually attached, not an assumed generation — getting this
+# wrong misstates every *_hbm_pct by the bandwidth ratio.
+HBM_GBPS_BY_KIND = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5": 2765.0,  # v5p
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+    "TPU7x": 7400.0,
+}
+DEFAULT_TPU_GBPS = 819.0  # conservative fallback (v5e) for unknown kinds
 
 
 def main() -> None:
@@ -67,12 +80,25 @@ def main() -> None:
     cpu_mode = not on_tpu
     f32 = jnp.float32
     details = {"backend": backend}
+    hbm_gbps = None
+    if on_tpu:
+        device_kind = jax.devices()[0].device_kind
+        details["device_kind"] = device_kind
+        hbm_gbps = next(
+            (
+                gbps
+                for kind, gbps in HBM_GBPS_BY_KIND.items()
+                if device_kind.startswith(kind)
+            ),
+            DEFAULT_TPU_GBPS,
+        )
+        details["hbm_gbps_assumed"] = hbm_gbps
 
     def record(name, seconds, roofline_bytes=None):
         details[f"{name}_ms"] = seconds * 1e3
-        if roofline_bytes is not None and backend in HBM_GBPS:
+        if roofline_bytes is not None and hbm_gbps is not None:
             details[f"{name}_hbm_pct"] = round(
-                roofline_bytes / seconds / 1e9 / HBM_GBPS[backend] * 100, 1
+                roofline_bytes / seconds / 1e9 / hbm_gbps * 100, 1
             )
         print(f"{name}: {seconds * 1e3:.4f} ms", flush=True)
 
