@@ -30,6 +30,38 @@ from cheetah_tpu.utils.warnings import DirtyNameWarning, PhysicsWarning
 generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
 
 
+def apply_second_order_map(T: Array, p: Array) -> Array:
+    """Apply a 7x7x7 second-order map: ``out_i = sum_jk T_ijk p_j p_k``.
+
+    Two formulations, picked by whether the PARTICLE array carries batch dims
+    (the map ``T`` may be batched either way — per-instance lattice settings):
+
+    * Unbatched particles ``(N, 7)`` (the vectorised-lattice case): the
+      quadratic form factors through the instance-INDEPENDENT outer-product
+      matrix ``S[n, jk] = p_j p_k`` — ``(N, 49)``, ~2.8 MB at 10k particles —
+      and the whole contraction is ONE batched matmul
+      ``(N, 49) @ (..., 49, 7)``, i.e. the same single materialisation as
+      linear transport. Measured 13.3 -> ~2 ms on the 4096x10k second_order
+      env step vs the per-component unroll below (which pays 7 full-size dot
+      outputs).
+    * Batched particles: ``S`` would be ``(..., N, 49)`` — 7x the linear
+      intermediate (8 TB at 4096x10k). Unroll over the 7 output components
+      instead: per ``i`` a ``(..., N, 7) @ (..., 7, 7)`` matmul plus a fused
+      multiply-reduce keeps the peak intermediate at ``(..., N, 7)``.
+    """
+    if p.ndim == 2:
+        S = (p[:, :, None] * p[:, None, :]).reshape(p.shape[0], 49)
+        T2 = T.reshape(*T.shape[:-3], 7, 49)
+        return S @ jnp.swapaxes(T2, -1, -2)
+    return jnp.stack(
+        [
+            jnp.sum((p @ jnp.swapaxes(T[..., i, :, :], -1, -2)) * p, axis=-1)
+            for i in range(7)
+        ],
+        axis=-1,
+    )
+
+
 class Element:
     """Base class for elements of particle accelerators.
 
@@ -187,37 +219,7 @@ class Element:
         ), "Second-order tracking is currently only supported for `ParticleBeam`."
 
         T = self.second_order_transfer_map(incoming.energy, incoming.species)
-        # out_i = sum_jk T_ijk p_j p_k. Two formulations, picked by whether
-        # the PARTICLE array carries batch dims (the map T may be batched
-        # either way — per-instance lattice settings):
-        p = incoming.particles
-        if p.ndim == 2:
-            # Unbatched particles (the vectorised-lattice case): the
-            # quadratic form factors through the instance-INDEPENDENT
-            # outer-product matrix S[n, jk] = p_j p_k — (N, 49), ~2.8 MB at
-            # 10k particles — and the whole contraction is ONE batched
-            # matmul (N, 49) @ (..., 49, 7), i.e. the same single
-            # materialisation as linear transport. Measured 13.3 -> ~2 ms
-            # on the 4096x10k second_order env step vs the per-component
-            # unroll below (which pays 7 full-size dot outputs).
-            S = (p[:, :, None] * p[:, None, :]).reshape(p.shape[0], 49)
-            T2 = T.reshape(*T.shape[:-3], 7, 49)
-            outgoing_particles = S @ jnp.swapaxes(T2, -1, -2)
-        else:
-            # Batched particles: S would be (..., N, 49) — 7x the linear
-            # intermediate (8 TB at 4096x10k). Unroll over the 7 output
-            # components instead: per i a (..., N, 7) @ (..., 7, 7) matmul
-            # plus a fused multiply-reduce keeps the peak intermediate at
-            # (..., N, 7).
-            outgoing_particles = jnp.stack(
-                [
-                    jnp.sum(
-                        (p @ jnp.swapaxes(T[..., i, :, :], -1, -2)) * p, axis=-1
-                    )
-                    for i in range(7)
-                ],
-                axis=-1,
-            )
+        outgoing_particles = apply_second_order_map(T, incoming.particles)
 
         return ParticleBeam(
             particles=outgoing_particles,

@@ -19,9 +19,9 @@ from jax import Array
 
 from cheetah_tpu.accelerator.custom_transfer_map import CustomTransferMap
 from cheetah_tpu.accelerator.drift import Drift
-from cheetah_tpu.accelerator.element import Element
+from cheetah_tpu.accelerator.element import Element, apply_second_order_map
 from cheetah_tpu.accelerator.marker import Marker
-from cheetah_tpu.particles import Beam
+from cheetah_tpu.particles import Beam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.names import merge_element_names
 from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
@@ -536,7 +536,9 @@ class Segment(Element):
 
     def _plan(self) -> list[Element]:
         """Partition elements into fused skippable runs and individual
-        non-skippable elements."""
+        non-skippable elements, then fold linear runs adjacent to
+        ``second_order``-tracked elements into those elements' T-tensors
+        (see :class:`_SecondOrderBracket`)."""
         todos: list[Element] = []
         run: list[Element] = []
         for element in self.elements:
@@ -549,7 +551,64 @@ class Segment(Element):
                 todos.append(element)
         if run:
             todos.append(self.__class__(elements=run, sanitize_name=False))
-        return todos
+        return self._fuse_second_order_brackets(todos)
+
+    @staticmethod
+    def _fuse_second_order_brackets(todos: list[Element]) -> list[Element]:
+        """Fold skippable linear runs into adjacent second-order T-tensors.
+
+        In the augmented 7-coordinate convention (``p_6 == 1``) a
+        second-order map ``out_i = T_ijk p_j p_k`` encodes constant, linear
+        AND quadratic terms, so bracketing it with linear maps is EXACTLY a
+        second-order map again: ``T'_iab = R_il T_ljk M_ja M_kb`` (no
+        higher-order truncation — that only appears when composing two
+        quadratic maps). Folding the runs means the whole bracket transports
+        particles with ONE quadratic apply instead of (matmul, quadratic,
+        matmul) — on the 4096x10k second_order env step this removes two of
+        the three ``(instances, N, 7)`` HBM materialisations that made the
+        path sit at 44.5% of the HBM roofline vs the linear path's 64%
+        (PERF_NOTES.md). Greedy left-to-right: each second-order element
+        absorbs the run before it; it absorbs the run after it only when the
+        following todo is not itself second-order (which would claim that
+        run as its own upstream).
+        """
+        fused: list[Element] = []
+        index = 0
+
+        def is_second_order(todo: Element) -> bool:
+            return (
+                not isinstance(todo, Segment)
+                and getattr(todo, "tracking_method", "linear") == "second_order"
+            )
+
+        def is_run(todo: Element) -> bool:
+            return isinstance(todo, Segment) and todo.is_skippable
+
+        while index < len(todos):
+            todo = todos[index]
+            if is_second_order(todo):
+                upstream: list[Element] = []
+                if fused and is_run(fused[-1]):
+                    upstream = fused.pop().elements
+                downstream: list[Element] = []
+                if (
+                    index + 1 < len(todos)
+                    and is_run(todos[index + 1])
+                    and not (
+                        index + 2 < len(todos)
+                        and is_second_order(todos[index + 2])
+                    )
+                ):
+                    downstream = todos[index + 1].elements
+                    index += 1
+                if upstream or downstream:
+                    fused.append(_SecondOrderBracket(upstream, todo, downstream))
+                else:
+                    fused.append(todo)
+            else:
+                fused.append(todo)
+            index += 1
+        return fused
 
     # ------------------------------------------------------------------
     # Observation along s
@@ -740,4 +799,87 @@ class Segment(Element):
         return (
             f"{self.__class__.__name__}(elements={self.elements!r}, "
             f"name={self.name!r})"
+        )
+
+
+@pytree_dataclass(init=False)
+class _SecondOrderBracket(Element):
+    """Trace-time fusion of ``linear-run → second_order element → linear-run``.
+
+    Internal — produced only by :meth:`Segment._plan`, never user-visible. In
+    the augmented 7-coordinate convention the bracket is EXACTLY equivalent to
+    tracking the three parts sequentially (the folded tensor is
+    ``T'_iab = R_il T_ljk M_ja M_kb``; see
+    :meth:`Segment._fuse_second_order_brackets`), differing only in float
+    rounding, but transports the particle array with a single quadratic apply
+    — one ``(..., N, 7)`` materialisation instead of three. The reference has
+    no analogue: its ``Segment.track`` breaks fused runs at every
+    non-skippable element (ref ``segment.py:545-574``).
+    """
+
+    upstream: list[Element]
+    element: Element
+    downstream: list[Element]
+    name: str = static_field(None)
+    metadata: dict = static_field(None)
+
+    def __init__(
+        self,
+        upstream: list[Element],
+        element: Element,
+        downstream: list[Element],
+    ) -> None:
+        self.upstream = list(upstream)
+        self.element = element
+        self.downstream = list(downstream)
+        self._init_element(f"{element.name}_bracket", False, None)
+
+    @property
+    def length(self) -> Array:
+        total = self.element.length
+        for part in (*self.upstream, *self.downstream):
+            total = total + part.length
+        return total
+
+    @property
+    def is_skippable(self) -> bool:
+        return False
+
+    def fused_second_order_transfer_map(
+        self, energy: Array, species: Species
+    ) -> Array:
+        """The bracket's folded 7x7x7 tensor ``R_il T_ljk M_ja M_kb``."""
+        T = self.element.second_order_transfer_map(energy, species)
+        if self.upstream:
+            M = jnp.eye(7, dtype=T.dtype)
+            for part in self.upstream:
+                M = part.first_order_transfer_map(energy, species) @ M
+            T = jnp.einsum("...ijk,...ja,...kb->...iab", T, M, M)
+        if self.downstream:
+            R = jnp.eye(7, dtype=T.dtype)
+            for part in self.downstream:
+                R = part.first_order_transfer_map(energy, species) @ R
+            T = jnp.einsum("...il,...ljk->...ijk", R, T)
+        return T
+
+    def track(self, incoming: Beam) -> Beam:
+        assert isinstance(
+            incoming, ParticleBeam
+        ), "Second-order tracking is currently only supported for `ParticleBeam`."
+        T = self.fused_second_order_transfer_map(
+            incoming.energy, incoming.species
+        )
+        return ParticleBeam(
+            particles=apply_second_order_map(T, incoming.particles),
+            energy=incoming.energy,
+            particle_charges=incoming.particle_charges,
+            survival_probabilities=incoming.survival_probabilities,
+            s=incoming.s + self.length,
+            species=incoming.species,
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"{self.__class__.__name__}(upstream={self.upstream!r}, "
+            f"element={self.element!r}, downstream={self.downstream!r})"
         )

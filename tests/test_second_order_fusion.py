@@ -1,0 +1,224 @@
+"""Second-order bracket fusion (``Segment._fuse_second_order_brackets``).
+
+A ``second_order``-tracked element bracketed by skippable linear runs folds
+the runs into its 7x7x7 T-tensor exactly (the augmented coordinate makes the
+composition closed — no higher-order truncation), so ``Segment.track``
+transports the bracket with ONE quadratic apply. These tests pin the fusion's
+exactness against element-wise tracking, its plan structure, and its
+interaction with jit / grad / vmap / checkpointing / moments. The reference
+has no analogue (its ``segment.py:545-574`` breaks runs at every
+non-skippable element), so the oracle here is our own element-wise path —
+which `tests/test_full_ares.py` and the golden corpus pin against the
+reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cheetah_tpu as ct
+from cheetah_tpu.accelerator.segment import _SecondOrderBracket
+
+f64 = jnp.float64
+
+
+@pytest.fixture
+def beam(key):
+    return ct.ParticleBeam.from_parameters(
+        num_particles=1_000,
+        sigma_x=jnp.asarray(1e-4, f64),
+        sigma_px=jnp.asarray(2e-5, f64),
+        sigma_y=jnp.asarray(1.3e-4, f64),
+        sigma_py=jnp.asarray(1.7e-5, f64),
+        sigma_tau=jnp.asarray(1e-5, f64),
+        sigma_p=jnp.asarray(1e-3, f64),
+        energy=jnp.asarray(150e6, f64),
+        key=key,
+        dtype=f64,
+    )
+
+
+def make_segment(method="second_order"):
+    return ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, f64), name="d1"),
+            ct.Quadrupole(
+                jnp.asarray(0.2, f64),
+                k1=jnp.asarray(4.2, f64),
+                tilt=jnp.asarray(0.1, f64),
+                misalignment=jnp.asarray([1e-4, -2e-4], f64),
+                tracking_method=method,
+                name="q1",
+            ),
+            ct.Drift(jnp.asarray(0.3, f64), name="d2"),
+            ct.Sextupole(
+                jnp.asarray(0.1, f64),
+                k2=jnp.asarray(30.0, f64),
+                tracking_method="second_order",
+                name="s1",
+            ),
+            ct.Drift(jnp.asarray(0.7, f64), name="d3"),
+        ]
+    )
+
+
+def track_elementwise(segment, beam):
+    for element in segment.elements:
+        beam = element.track(beam)
+    return beam
+
+
+def test_plan_fuses_brackets():
+    """[run, so, run, so, run] plans to exactly two brackets: the middle run
+    is claimed as the SECOND element's upstream, not the first's downstream."""
+    plan = make_segment()._plan()
+    assert [type(todo).__name__ for todo in plan] == [
+        "_SecondOrderBracket",
+        "_SecondOrderBracket",
+    ]
+    first, second = plan
+    assert [e.name for e in first.upstream] == ["d1"]
+    assert first.element.name == "q1"
+    assert first.downstream == []
+    assert [e.name for e in second.upstream] == ["d2"]
+    assert second.element.name == "s1"
+    assert [e.name for e in second.downstream] == ["d3"]
+
+
+def test_fused_track_matches_elementwise(beam):
+    segment = make_segment()
+    out = segment.track(beam)
+    ref = track_elementwise(segment, beam)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+    np.testing.assert_allclose(out.s, ref.s, rtol=1e-15)
+    np.testing.assert_array_equal(
+        out.survival_probabilities, ref.survival_probabilities
+    )
+
+
+def test_fused_track_matches_under_jit(beam):
+    segment = make_segment()
+    out = jax.jit(lambda seg, b: seg.track(b))(segment, beam)
+    ref = track_elementwise(segment, beam)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+
+
+def test_fused_track_batched_instances(beam):
+    """Vectorised lattice settings batch the folded T-tensor per instance."""
+    segment = make_segment()
+    segment.q1.k1 = jnp.linspace(3.0, 5.0, 4, dtype=f64)
+    out = segment.track(beam)
+    ref = track_elementwise(segment, beam)
+    assert out.particles.shape == (4, 1_000, 7)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+
+
+def test_fused_track_batched_particles(beam):
+    """Batched particle arrays take the per-component unroll path."""
+    segment = make_segment()
+    batched = beam.clone()
+    batched.particles = jnp.stack([beam.particles, beam.particles * 1.01])
+    out = segment.track(batched)
+    ref = track_elementwise(segment, batched)
+    assert out.particles.shape == (2, 1_000, 7)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+
+
+def test_gradient_through_fused_bracket(beam):
+    """d(sigma_x)/d(k1) agrees between the fused and element-wise paths."""
+
+    def fused_loss(k1):
+        segment = make_segment()
+        segment.q1.k1 = k1
+        return segment.track(beam).sigma_x
+
+    def elementwise_loss(k1):
+        segment = make_segment()
+        segment.q1.k1 = k1
+        return track_elementwise(segment, beam).sigma_x
+
+    k1 = jnp.asarray(4.2, f64)
+    g_fused = jax.grad(fused_loss)(k1)
+    g_ref = jax.grad(elementwise_loss)(k1)
+    np.testing.assert_allclose(g_fused, g_ref, rtol=1e-12)
+
+
+def test_checkpointed_track_matches(beam):
+    segment = make_segment()
+    out = segment.track_checkpointed(beam)
+    ref = track_elementwise(segment, beam)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+
+
+def test_track_moments_with_bracket(beam):
+    """The bracket is non-skippable, so ``track_moments`` collapses to
+    moments only after the last bracket — and the moments agree with the
+    tracked particles'."""
+    segment = make_segment()
+    moments = segment.track_moments(beam)
+    ref = track_elementwise(segment, beam)
+    assert isinstance(moments, ct.ParameterBeam)
+    np.testing.assert_allclose(moments.mu_x, ref.mu_x, rtol=0, atol=1e-16)
+    np.testing.assert_allclose(moments.sigma_x, ref.sigma_x, rtol=1e-12)
+
+
+def test_no_bracket_for_lone_second_order_element(beam):
+    """A second-order element with no adjacent runs tracks directly."""
+    segment = ct.Segment(
+        [
+            ct.Sextupole(
+                jnp.asarray(0.1, f64),
+                k2=jnp.asarray(30.0, f64),
+                tracking_method="second_order",
+                name="s1",
+            )
+        ]
+    )
+    (todo,) = segment._plan()
+    assert not isinstance(todo, _SecondOrderBracket)
+    out = segment.track(beam)
+    ref = segment.s1.track(beam)
+    np.testing.assert_array_equal(out.particles, ref.particles)
+
+
+def test_bracket_broken_by_nonskippable_element(beam):
+    """An active aperture between the run and the second-order element keeps
+    them separate — and tracking still matches element-wise semantics."""
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, f64), name="d1"),
+            ct.Aperture(
+                x_max=jnp.asarray(3e-4, f64),
+                y_max=jnp.asarray(3e-4, f64),
+                shape="rectangular",
+                is_active=True,
+                name="ap",
+            ),
+            ct.Quadrupole(
+                jnp.asarray(0.2, f64),
+                k1=jnp.asarray(4.2, f64),
+                tracking_method="second_order",
+                name="q1",
+            ),
+            ct.Drift(jnp.asarray(0.3, f64), name="d2"),
+        ]
+    )
+    plan = segment._plan()
+    names = [type(todo).__name__ for todo in plan]
+    assert names == ["Segment", "Aperture", "_SecondOrderBracket"]
+    assert plan[2].upstream == []
+    out = segment.track(beam)
+    ref = track_elementwise(segment, beam)
+    np.testing.assert_allclose(out.particles, ref.particles, rtol=0, atol=1e-17)
+    np.testing.assert_allclose(
+        out.survival_probabilities, ref.survival_probabilities, atol=0
+    )
+
+
+def test_parameter_beam_still_asserts(beam):
+    """ParameterBeam input hits the same not-supported assertion as the
+    unfused second-order path."""
+    segment = make_segment()
+    with pytest.raises(AssertionError, match="only supported for"):
+        segment.track(beam.as_parameter_beam())
