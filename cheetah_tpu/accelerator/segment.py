@@ -512,26 +512,53 @@ class Segment(Element):
         (Screen, BPM) contributes ``readings[element.name]`` computed from the
         beam at its location.
 
+        Elements between observation points are tracked as a sub-segment via
+        :meth:`track`, so run fusion (and second-order bracket fusion) applies
+        between observers exactly as in plain tracking — the readings loop
+        costs one fused transport per inter-observer stretch instead of one
+        ``(..., N, 7)`` materialisation per element.
+
         :return: ``(outgoing_beam, readings)``.
         """
         from cheetah_tpu.accelerator.superimposed import Superimposed
 
         readings: dict[str, Array] = {}
+        pending: list[Element] = []
+
+        def flush(beam: Beam) -> Beam:
+            if len(pending) == 1:
+                beam = pending[0].track(beam)
+            elif pending:
+                beam = self.__class__(
+                    elements=list(pending), sanitize_name=False
+                ).track(beam)
+            pending.clear()
+            return beam
+
         for element in self.elements:
-            if isinstance(element, Segment):
-                incoming, sub_readings = element.track_with_readings(incoming)
-                readings.update(sub_readings)
-            elif isinstance(element, Superimposed):
-                incoming, sub_readings = element._segment().track_with_readings(
-                    incoming
-                )
-                readings.update(sub_readings)
-            else:
-                if hasattr(element, "observe") and getattr(
-                    element, "is_active", False
-                ):
-                    readings[element.name] = element.observe(incoming)
+            if isinstance(element, (Segment, Superimposed)):
+                if _contains_active_observer(element):
+                    incoming = flush(incoming)
+                    sub_segment = (
+                        element
+                        if isinstance(element, Segment)
+                        else element._segment()
+                    )
+                    incoming, sub_readings = sub_segment.track_with_readings(
+                        incoming
+                    )
+                    readings.update(sub_readings)
+                else:
+                    pending.append(element)
+            elif hasattr(element, "observe") and getattr(
+                element, "is_active", False
+            ):
+                incoming = flush(incoming)
+                readings[element.name] = element.observe(incoming)
                 incoming = element.track(incoming)
+            else:
+                pending.append(element)
+        incoming = flush(incoming)
         return incoming, readings
 
     def _plan(self) -> list[Element]:
@@ -800,6 +827,18 @@ class Segment(Element):
             f"{self.__class__.__name__}(elements={self.elements!r}, "
             f"name={self.name!r})"
         )
+
+
+def _contains_active_observer(element: Element) -> bool:
+    """Whether the (possibly composite) element contains an active diagnostic
+    that :meth:`Segment.track_with_readings` must stop and observe at."""
+    from cheetah_tpu.accelerator.superimposed import Superimposed
+
+    if isinstance(element, Segment):
+        return any(_contains_active_observer(e) for e in element.elements)
+    if isinstance(element, Superimposed):
+        return _contains_active_observer(element._segment())
+    return hasattr(element, "observe") and getattr(element, "is_active", False)
 
 
 @pytree_dataclass(init=False)

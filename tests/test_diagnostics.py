@@ -263,3 +263,92 @@ def test_screen_vectorized_all_methods(method, key):
                 atol=1e-15,
                 err_msg=f"{method} [{i},{j}]",
             )
+
+
+def test_track_with_readings_fuses_between_observers(key):
+    """Readings equal the element-wise loop's, while the transport between
+    observers is fused (one sub-segment track per stretch, not one matmul per
+    element) — including through a nested sub-segment without observers and a
+    second_order-tracked element."""
+    beam = make_beam(key, n=1000)
+    f64 = jnp.float64
+    nested = ct.Segment(
+        [
+            ct.Drift(jnp.array(0.2, f64), name="nd1"),
+            ct.Quadrupole(jnp.array(0.1, f64), k1=jnp.array(-2.0, f64), name="nq1"),
+        ],
+        name="nested",
+    )
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.array(1.0, f64), name="d1"),
+            ct.Quadrupole(
+                jnp.array(0.3, f64),
+                k1=jnp.array(3.0, f64),
+                tracking_method="second_order",
+                name="q1",
+            ),
+            nested,
+            ct.BPM(is_active=True, name="bpm1"),
+            ct.Drift(jnp.array(0.5, f64), name="d2"),
+            ct.Screen(
+                resolution=(32, 32),
+                pixel_size=jnp.asarray([2e-5, 2e-5], f64),
+                method="cloud-in-cell",
+                is_active=True,
+                name="screen1",
+            ),
+        ],
+        name="diag",
+    )
+
+    out, readings = segment.track_with_readings(beam)
+
+    # Element-wise oracle (the pre-fusion semantics).
+    ref_beam = beam
+    ref_readings = {}
+    for element in [*segment.elements[:2], *nested.elements, *segment.elements[3:]]:
+        if hasattr(element, "observe") and getattr(element, "is_active", False):
+            ref_readings[element.name] = element.observe(ref_beam)
+        ref_beam = element.track(ref_beam)
+
+    assert list(readings.keys()) == list(ref_readings.keys()) == ["bpm1", "screen1"]
+    np.testing.assert_allclose(
+        readings["bpm1"], ref_readings["bpm1"], rtol=1e-12, atol=1e-15
+    )
+    np.testing.assert_allclose(
+        readings["screen1"], ref_readings["screen1"], rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        out.particles, ref_beam.particles, rtol=1e-12, atol=1e-16
+    )
+    np.testing.assert_allclose(out.s, ref_beam.s, rtol=1e-14)
+
+
+def test_track_with_readings_observer_inside_nested_segment(key):
+    """A nested segment CONTAINING an active observer is recursed into (its
+    readings surface by element name), while observer-free nesting fuses."""
+    beam = make_beam(key, n=500)
+    f64 = jnp.float64
+    inner = ct.Segment(
+        [
+            ct.Drift(jnp.array(0.3, f64), name="id1"),
+            ct.BPM(is_active=True, name="inner_bpm"),
+            ct.Drift(jnp.array(0.3, f64), name="id2"),
+        ],
+        name="inner",
+    )
+    segment = ct.Segment(
+        [ct.Drift(jnp.array(0.5, f64), name="d1"), inner], name="outer"
+    )
+    out, readings = segment.track_with_readings(beam)
+    assert set(readings.keys()) == {"inner_bpm"}
+
+    ref_beam = beam
+    for element in [segment.elements[0], *inner.elements]:
+        if getattr(element, "is_active", False) and hasattr(element, "observe"):
+            np.testing.assert_allclose(
+                readings[element.name], element.observe(ref_beam), rtol=1e-12
+            )
+        ref_beam = element.track(ref_beam)
+    np.testing.assert_allclose(out.particles, ref_beam.particles, rtol=1e-12)
