@@ -30,6 +30,40 @@ from cheetah_tpu.utils.warnings import DirtyNameWarning, PhysicsWarning
 generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
 
 
+def second_order_moment_transport(
+    T: Array, mu: Array, cov: Array
+) -> tuple[Array, Array]:
+    r"""Exact first/second moments of ``out_i = T_ijk p_j p_k`` for Gaussian p.
+
+    A :class:`ParameterBeam` is by definition Gaussian, so its moments
+    propagate through a quadratic map in closed form (Isserlis / quadratic
+    forms of Gaussians). With ``B_i = (T_i + T_i^T) / 2``:
+
+    .. math::
+        \mu'_i = \mu^T B_i \mu + \mathrm{tr}(B_i \Sigma), \qquad
+        \Sigma'_{il} = 2\,\mathrm{tr}(B_i \Sigma B_l \Sigma)
+                       + 4\,(B_i \mu)^T \Sigma (B_l \mu).
+
+    When ``T`` encodes a purely linear map (first-order block in
+    ``T[..., :, 6, :]``, augmented coordinate ``p_6 = 1``) this reduces
+    algebraically to the familiar congruence ``mu' = M mu``,
+    ``cov' = M cov M^T`` — verified in ``tests/test_second_order_fusion.py``.
+    O(7^4) per lattice instance, independent of particle count. The reference
+    raises on ``ParameterBeam`` second-order tracking
+    (ref ``element.py:195-203``); this closure removes that restriction.
+    """
+    B = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+    mu_out = jnp.einsum("...ijk,...j,...k->...i", B, mu, mu) + jnp.einsum(
+        "...ijk,...jk->...i", B, cov
+    )
+    BS = jnp.einsum("...ijk,...kl->...ijl", B, cov)  # B_i @ Sigma
+    Bmu = jnp.einsum("...ijk,...k->...ij", B, mu)  # B_i @ mu
+    cov_out = 2.0 * jnp.einsum("...ijk,...lkj->...il", BS, BS) + 4.0 * jnp.einsum(
+        "...ij,...jk,...lk->...il", Bmu, cov, Bmu
+    )
+    return mu_out, cov_out
+
+
 def apply_second_order_map(T: Array, p: Array) -> Array:
     """Apply a 7x7x7 second-order map: ``out_i = sum_jk T_ijk p_j p_k``.
 
@@ -213,12 +247,26 @@ class Element:
 
     def _track_second_order(self, incoming: Beam) -> Beam:
         """Second-order tracking via ``out_i = sum_jk T_ijk in_j in_k``
-        (ref ``element.py:195-225``). ``ParticleBeam`` only."""
+        (ref ``element.py:195-225``). For :class:`ParameterBeam` the Gaussian
+        moments propagate exactly through the quadratic map via
+        :func:`second_order_moment_transport` — the reference raises here."""
+        T = self.second_order_transfer_map(incoming.energy, incoming.species)
+        if isinstance(incoming, ParameterBeam):
+            new_mu, new_cov = second_order_moment_transport(
+                T, incoming.mu, incoming.cov
+            )
+            return ParameterBeam(
+                new_mu,
+                new_cov,
+                incoming.energy,
+                total_charge=incoming.total_charge,
+                s=incoming.s + self.length,
+                species=incoming.species,
+            )
         assert isinstance(
             incoming, ParticleBeam
-        ), "Second-order tracking is currently only supported for `ParticleBeam`."
+        ), f"Parameter incoming is of invalid type {type(incoming)}"
 
-        T = self.second_order_transfer_map(incoming.energy, incoming.species)
         outgoing_particles = apply_second_order_map(T, incoming.particles)
 
         return ParticleBeam(

@@ -19,9 +19,13 @@ from jax import Array
 
 from cheetah_tpu.accelerator.custom_transfer_map import CustomTransferMap
 from cheetah_tpu.accelerator.drift import Drift
-from cheetah_tpu.accelerator.element import Element, apply_second_order_map
+from cheetah_tpu.accelerator.element import (
+    Element,
+    apply_second_order_map,
+    second_order_moment_transport,
+)
 from cheetah_tpu.accelerator.marker import Marker
-from cheetah_tpu.particles import Beam, ParticleBeam
+from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.names import merge_element_names
 from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
@@ -902,12 +906,24 @@ class _SecondOrderBracket(Element):
         return T
 
     def track(self, incoming: Beam) -> Beam:
-        assert isinstance(
-            incoming, ParticleBeam
-        ), "Second-order tracking is currently only supported for `ParticleBeam`."
         T = self.fused_second_order_transfer_map(
             incoming.energy, incoming.species
         )
+        if isinstance(incoming, ParameterBeam):
+            new_mu, new_cov = second_order_moment_transport(
+                T, incoming.mu, incoming.cov
+            )
+            return ParameterBeam(
+                new_mu,
+                new_cov,
+                incoming.energy,
+                total_charge=incoming.total_charge,
+                s=incoming.s + self.length,
+                species=incoming.species,
+            )
+        assert isinstance(
+            incoming, ParticleBeam
+        ), f"Parameter incoming is of invalid type {type(incoming)}"
         return ParticleBeam(
             particles=apply_second_order_map(T, incoming.particles),
             energy=incoming.energy,

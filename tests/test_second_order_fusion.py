@@ -216,9 +216,78 @@ def test_bracket_broken_by_nonskippable_element(beam):
     )
 
 
-def test_parameter_beam_still_asserts(beam):
-    """ParameterBeam input hits the same not-supported assertion as the
-    unfused second-order path."""
+def test_parameter_beam_second_order_matches_particle_moments(key):
+    """ParameterBeam second-order tracking (Gaussian moment closure — the
+    reference raises here) agrees with the Monte-Carlo moments of a large
+    tracked ParticleBeam from the same Gaussian."""
     segment = make_segment()
-    with pytest.raises(AssertionError, match="only supported for"):
-        segment.track(beam.as_parameter_beam())
+    mu = jnp.zeros(7, f64).at[6].set(1.0)
+    sigmas = jnp.asarray([1e-4, 2e-5, 1.3e-4, 1.7e-5, 1e-5, 1e-3, 0.0], f64)
+    cov = jnp.diag(sigmas**2)
+    param = ct.ParameterBeam(
+        mu, cov, energy=jnp.asarray(150e6, f64), species=ct.Species("electron")
+    )
+    particle = ct.ParticleBeam.from_distribution(
+        num_particles=200_000, mu=mu[:6], cov=cov[:6, :6],
+        energy=jnp.asarray(150e6, f64), key=key, dtype=f64,
+    )
+
+    out_param = segment.track(param)
+    out_particle = segment.track(particle)
+
+    # from_distribution matches the requested moments exactly (Cholesky
+    # whitening), so the residual here is purely the 3rd/4th-moment sampling
+    # error of the quadratic terms, ~sqrt(1/N) of the nonlinear correction.
+    np.testing.assert_allclose(
+        out_param.mu[..., :6],
+        out_particle.as_parameter_beam().mu[..., :6],
+        atol=3e-3 * float(jnp.max(sigmas)),
+    )
+    np.testing.assert_allclose(
+        jnp.sqrt(jnp.diagonal(out_param.cov)[..., :6]),
+        jnp.sqrt(jnp.diagonal(out_particle.as_parameter_beam().cov)[..., :6]),
+        rtol=2e-2,
+    )
+    np.testing.assert_allclose(out_param.s, out_particle.s, rtol=1e-14)
+
+
+def test_parameter_beam_second_order_reduces_to_linear_for_pure_linear_T():
+    """With the quadratic entries zeroed, the Gaussian closure reproduces the
+    linear congruence mu' = M mu, cov' = M cov M^T exactly."""
+    from cheetah_tpu.accelerator.element import second_order_moment_transport
+
+    rng = np.random.default_rng(7)
+    M = np.eye(7)
+    M[:6, :6] += 0.1 * rng.standard_normal((6, 6))
+    T = np.zeros((7, 7, 7))
+    T[:, 6, :] = M  # augmented convention: linear block at j == 6
+    T[6] = 0.0
+    T[6, 6, 6] = 1.0
+    mu = np.zeros(7)
+    mu[:6] = 1e-4 * rng.standard_normal(6)
+    mu[6] = 1.0
+    A = 1e-4 * rng.standard_normal((6, 6))
+    cov = np.zeros((7, 7))
+    cov[:6, :6] = A @ A.T
+
+    mu_out, cov_out = second_order_moment_transport(
+        jnp.asarray(T), jnp.asarray(mu), jnp.asarray(cov)
+    )
+    np.testing.assert_allclose(mu_out, M @ mu, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(cov_out, M @ cov @ M.T, rtol=1e-12, atol=1e-22)
+
+
+def test_parameter_beam_fused_bracket_matches_elementwise(key):
+    """ParameterBeam through the fused bracket == element-wise second-order
+    moment transport (exact up to float reassociation)."""
+    segment = make_segment()
+    mu = jnp.zeros(7, f64).at[6].set(1.0)
+    sigmas = jnp.asarray([1e-4, 2e-5, 1.3e-4, 1.7e-5, 1e-5, 1e-3, 0.0], f64)
+    param = ct.ParameterBeam(
+        mu, jnp.diag(sigmas**2), energy=jnp.asarray(150e6, f64),
+        species=ct.Species("electron"),
+    )
+    out = segment.track(param)
+    ref = track_elementwise(segment, param)
+    np.testing.assert_allclose(out.mu, ref.mu, rtol=1e-10, atol=1e-16)
+    np.testing.assert_allclose(out.cov, ref.cov, rtol=1e-8, atol=1e-20)
