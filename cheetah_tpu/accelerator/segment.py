@@ -476,10 +476,16 @@ class Segment(Element):
         env step this is ~40x faster than particle tracking for bit-similar
         moment readouts.
 
-        Non-skippable elements (space charge, active cavities, apertures,
-        ...) act per particle, so the full beam is tracked through every
-        element up to and including the *last* non-skippable one, and only
-        the trailing linear run uses the moments shortcut.
+        ``second_order``-tracked elements (and their fused brackets) also
+        transport moments directly, via the exact Gaussian closure of the
+        quadratic map (:func:`~cheetah_tpu.accelerator.element.
+        second_order_moment_transport`) — exact for the Gaussian family that
+        ``(mu, cov)`` represents, i.e. identical to tracking the collapsed
+        :class:`ParameterBeam` itself. Other non-skippable elements (space
+        charge, active cavities, apertures, ...) act per particle, so the
+        full beam is tracked through every element up to and including the
+        *last* such element, and only the trailing linear/second-order
+        stretch uses the moments shortcut.
 
         Use when the readout is moment-based (beam sizes, centroids, Twiss,
         emittances). Not a replacement for :meth:`track`: the returned beam
@@ -492,10 +498,21 @@ class Segment(Element):
         """
         from cheetah_tpu.particles import ParticleBeam
 
+        def moment_transportable(todo: Element) -> bool:
+            return (
+                todo.is_skippable
+                or isinstance(todo, _SecondOrderBracket)
+                or (
+                    not isinstance(todo, Segment)
+                    and getattr(todo, "tracking_method", "linear")
+                    == "second_order"
+                )
+            )
+
         todos = self._plan()
         boundary = 0
         for index, todo in enumerate(todos):
-            if not todo.is_skippable:
+            if not moment_transportable(todo):
                 boundary = index + 1
         for todo in todos[:boundary]:
             incoming = todo.track(incoming)

@@ -217,3 +217,63 @@ def test_track_checkpointed_matches_track():
     grad_remat = jax.jit(jax.grad(loss), static_argnums=3)(k1, segment, beam, True)
     grad_plain = jax.jit(jax.grad(loss), static_argnums=3)(k1, segment, beam, False)
     np.testing.assert_allclose(grad_remat, grad_plain, rtol=1e-10)
+
+
+def test_second_order_elements_transport_moments_directly():
+    """second_order-tracked elements no longer force particle tracking: the
+    moments path collapses BEFORE them and uses the exact Gaussian closure —
+    identical to collapsing at the boundary and tracking the ParameterBeam."""
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.array(0.6, F64), name="d1"),
+            ct.Quadrupole(
+                jnp.array(0.3, F64),
+                k1=jnp.array(8.0, F64),
+                tracking_method="second_order",
+                name="q1",
+            ),
+            ct.Drift(jnp.array(0.9, F64), name="d2"),
+        ],
+        name="so",
+    )
+    beam = make_beam(50_000)
+
+    moments = segment.track_moments(beam)
+
+    # Semantics: equivalent to collapsing at the entrance (nothing upstream
+    # is particle-only) and tracking the ParameterBeam through the segment.
+    expected = segment.track(beam.as_parameter_beam())
+    np.testing.assert_allclose(moments.mu, expected.mu, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(moments.cov, expected.cov, rtol=1e-10, atol=1e-22)
+
+    # And close to the tracked-particle sample moments (differs only by the
+    # sampled beam's 3rd/4th-moment deviation from Gaussian).
+    tracked = segment.track(beam)
+    np.testing.assert_allclose(moments.sigma_x, tracked.sigma_x, rtol=2e-2)
+    np.testing.assert_allclose(moments.sigma_px, tracked.sigma_px, rtol=2e-2)
+
+
+def test_nonlinear_dkd_after_second_order_still_tracks_particles():
+    """A dkd element AFTER a second-order one keeps the particle path up to
+    and including the dkd element."""
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(
+                jnp.array(0.3, F64),
+                k1=jnp.array(8.0, F64),
+                tracking_method="second_order",
+                name="q1",
+            ),
+            ct.Quadrupole(
+                jnp.array(0.3, F64),
+                k1=jnp.array(30.0, F64),
+                tracking_method="drift_kick_drift",
+                name="qnl",
+            ),
+            ct.Drift(jnp.array(0.9, F64), name="d2"),
+        ],
+        name="so_dkd",
+    )
+    beam = make_beam(5_000)
+    moments = segment.track_moments(beam)
+    assert_moments_match(moments, segment.track(beam))
