@@ -181,6 +181,19 @@ def main() -> None:
             dt,
             roofline_bytes=num_instances * num_particles * 7 * 4,
         )
+        # Moments fast path through the same nonlinear lattice: the Gaussian
+        # closure transports (mu, cov) through the fused bracket — no
+        # particle array at all.
+        dt = timeit_slope(
+            jax.jit(lambda s, b: s.track_moments(b).sigma_x),
+            seg2,
+            beam_10k,
+            iters=200,
+        )
+        record(
+            f"env_second_order_moments_{num_instances}x{num_particles // 1000}k",
+            dt,
+        )
 
     if wants("env_dkd"):
         # Drift-kick-drift variant: the tuned quad integrates with lax.scan
