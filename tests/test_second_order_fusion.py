@@ -291,3 +291,48 @@ def test_parameter_beam_fused_bracket_matches_elementwise(key):
     ref = track_elementwise(segment, param)
     np.testing.assert_allclose(out.mu, ref.mu, rtol=1e-10, atol=1e-16)
     np.testing.assert_allclose(out.cov, ref.cov, rtol=1e-8, atol=1e-20)
+
+
+def test_bracket_fusion_reduces_compiled_traffic():
+    """Compiled-cost guard: the fused second-order env step must move ~6x
+    less logical traffic (and ~2x fewer flops) than element-wise tracking.
+    Catches plan regressions (e.g. the bracket silently not forming) on CPU
+    without TPU hardware."""
+    from cheetah_tpu.lattices import ares_ea_subcell
+
+    f32 = jnp.float32
+    num_instances, num_particles = 32, 2_000
+    segment = ares_ea_subcell(dtype=f32)
+    segment.AREAMQZM1.tracking_method = "second_order"
+    segment.AREAMQZM1.k1 = jnp.linspace(-20, 20, num_instances, dtype=f32)
+    beam32 = ct.ParticleBeam.from_twiss(
+        num_particles=num_particles,
+        beta_x=jnp.asarray(5.0, f32),
+        emittance_x=jnp.asarray(2e-9, f32),
+        beta_y=jnp.asarray(3.0, f32),
+        emittance_y=jnp.asarray(2e-9, f32),
+        energy=jnp.asarray(1.54e8, f32),
+        key=jax.random.PRNGKey(0),
+        dtype=f32,
+    )
+
+    fused = (
+        jax.jit(lambda s, b: s.track(b).sigma_x).lower(segment, beam32).compile()
+    )
+
+    def track_elementwise_sigma(s, b):
+        for element in s.elements:
+            b = element.track(b)
+        return b.sigma_x
+
+    unfused = (
+        jax.jit(track_elementwise_sigma).lower(segment, beam32).compile()
+    )
+
+    fused_bytes = fused.cost_analysis().get("bytes accessed", 0.0)
+    unfused_bytes = unfused.cost_analysis().get("bytes accessed", 0.0)
+    assert fused_bytes > 0 and unfused_bytes > 0
+    assert fused_bytes < 0.4 * unfused_bytes, (
+        f"bracket fusion regressed: fused step accesses {fused_bytes:.3g} B "
+        f"vs {unfused_bytes:.3g} B element-wise"
+    )
