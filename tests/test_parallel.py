@@ -69,6 +69,36 @@ def test_instance_axis_sharded_tracking_matches_unsharded(key):
     assert len(result.sharding.device_set) == 8
 
 
+def test_instance_axis_sharded_second_order_matches_unsharded(key):
+    """The second-order bracket fusion (batched folded T-tensor) composes
+    with instance-axis sharding: numerics identical, output stays sharded."""
+    num_instances = 16
+    mesh = make_mesh()
+    segment = make_segment()
+    segment.q1.tracking_method = "second_order"
+    segment.q1.k1 = jnp.linspace(-10, 10, num_instances, dtype=jnp.float64)
+
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=512,
+        sigma_x=jnp.full((num_instances,), 1e-4, jnp.float64),
+        energy=jnp.array(1.5e8, jnp.float64),
+        key=key,
+    )
+
+    expected = segment.track(beam).sigma_x
+
+    sharded_beam = shard_beam(beam, mesh, instance_axis="instances")
+    sharded_segment = shard_segment(segment, mesh, "instances")
+
+    @jax.jit
+    def track(segment, beam):
+        return segment.track(beam).sigma_x
+
+    result = track(sharded_segment, sharded_beam)
+    np.testing.assert_allclose(result, expected, rtol=1e-12)
+    assert len(result.sharding.device_set) == 8
+
+
 def test_particle_axis_sharded_tracking(key):
     mesh = make_mesh({"particles": 8})
     segment = make_segment()
