@@ -152,15 +152,19 @@ def test_checkpointed_track_matches(beam):
 
 
 def test_track_moments_with_bracket(beam):
-    """The bracket is non-skippable, so ``track_moments`` collapses to
-    moments only after the last bracket — and the moments agree with the
-    tracked particles'."""
+    """``track_moments`` transports moments THROUGH brackets via the Gaussian
+    closure: identical to collapsing at the entrance and tracking the
+    ParameterBeam, and within the sampled beam's non-Gaussianity of the
+    tracked-particle moments."""
     segment = make_segment()
     moments = segment.track_moments(beam)
-    ref = track_elementwise(segment, beam)
     assert isinstance(moments, ct.ParameterBeam)
-    np.testing.assert_allclose(moments.mu_x, ref.mu_x, rtol=0, atol=1e-16)
-    np.testing.assert_allclose(moments.sigma_x, ref.sigma_x, rtol=1e-12)
+    closure = segment.track(beam.as_parameter_beam())
+    np.testing.assert_allclose(moments.mu, closure.mu, rtol=1e-12, atol=1e-18)
+    np.testing.assert_allclose(moments.cov, closure.cov, rtol=1e-10, atol=1e-24)
+    ref = track_elementwise(segment, beam)
+    np.testing.assert_allclose(moments.mu_x, ref.mu_x, rtol=1e-4)
+    np.testing.assert_allclose(moments.sigma_x, ref.sigma_x, rtol=1e-4)
 
 
 def test_no_bracket_for_lone_second_order_element(beam):
