@@ -459,8 +459,12 @@ class Segment(Element):
             incoming = track_one(incoming, todo)
         return incoming
 
-    def track_moments(self, incoming: Beam) -> Beam:
-        """Track only the beam's first and second moments — exactly.
+    def track_moments(
+        self,
+        incoming: Beam,
+        second_order: Literal["closure", "particles"] = "closure",
+    ) -> Beam:
+        """Track only the beam's first and second moments.
 
         The moments of a particle distribution transported through a linear
         map ``M`` are identical to the moment-congruence transport
@@ -472,20 +476,27 @@ class Segment(Element):
         :class:`ParameterBeam` — O(7^3) per lattice instance instead of
         O(N * 7^2) per particle, and without materialising the
         ``(instances, N, 7)`` transported array that makes the particle path
-        HBM-bound on TPU (PERF_NOTES.md). Measured on the 4096-instance RL
-        env step this is ~40x faster than particle tracking for bit-similar
-        moment readouts.
+        HBM-bound on TPU (PERF_NOTES.md). For purely linear stretches the
+        result is EXACTLY :meth:`track`'s sample moments (up to float
+        rounding). Measured on the 4096-instance RL env step this is ~40x
+        faster than particle tracking for bit-similar moment readouts.
 
+        With ``second_order="closure"`` (the default),
         ``second_order``-tracked elements (and their fused brackets) also
-        transport moments directly, via the exact Gaussian closure of the
+        transport moments directly, via the Gaussian closure of the
         quadratic map (:func:`~cheetah_tpu.accelerator.element.
-        second_order_moment_transport`) — exact for the Gaussian family that
-        ``(mu, cov)`` represents, i.e. identical to tracking the collapsed
-        :class:`ParameterBeam` itself. Other non-skippable elements (space
-        charge, active cavities, apertures, ...) act per particle, so the
-        full beam is tracked through every element up to and including the
-        *last* such element, and only the trailing linear/second-order
-        stretch uses the moments shortcut.
+        second_order_moment_transport`) — identical to tracking the
+        collapsed :class:`ParameterBeam` itself, and exact for the Gaussian
+        family that ``(mu, cov)`` represents, but NOT exactly the tracked
+        particles' sample moments: the closure ignores the beam's sampled
+        (and any transport-generated) 3rd/4th moments, an O(1/sqrt(N))
+        relative difference for a Gaussian-sampled beam. Pass
+        ``second_order="particles"`` to particle-track through second-order
+        elements instead, restoring exact sample moments at full particle
+        cost. Other non-skippable elements (space charge, active cavities,
+        apertures, ...) always act per particle, so the full beam is tracked
+        through every element up to and including the *last* such element,
+        and only the trailing stretch uses the moments shortcut.
 
         Use when the readout is moment-based (beam sizes, centroids, Twiss,
         emittances). Not a replacement for :meth:`track`: the returned beam
@@ -493,20 +504,22 @@ class Segment(Element):
         export). No reference analogue — the reference has no moments-only
         fast path for particle beams.
 
-        :return: A :class:`ParameterBeam` carrying the exact tracked
-            moments (a :class:`ParameterBeam` input is simply tracked).
+        :param second_order: ``"closure"`` (default) collapses to moments at
+            second-order elements via the Gaussian closure; ``"particles"``
+            keeps exact sample moments by particle-tracking through them.
+        :return: A :class:`ParameterBeam` carrying the tracked moments (a
+            :class:`ParameterBeam` input is simply tracked).
         """
         from cheetah_tpu.particles import ParticleBeam
 
         def moment_transportable(todo: Element) -> bool:
-            return (
-                todo.is_skippable
-                or isinstance(todo, _SecondOrderBracket)
-                or (
-                    not isinstance(todo, Segment)
-                    and getattr(todo, "tracking_method", "linear")
-                    == "second_order"
-                )
+            if todo.is_skippable:
+                return True
+            if second_order != "closure":
+                return False
+            return isinstance(todo, _SecondOrderBracket) or (
+                not isinstance(todo, Segment)
+                and getattr(todo, "tracking_method", "linear") == "second_order"
             )
 
         todos = self._plan()

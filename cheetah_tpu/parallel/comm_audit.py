@@ -93,8 +93,14 @@ class CollectiveReport:
 
 
 def _result_bytes(line: str) -> int:
-    """Bytes of the op's result (the text left of the op name)."""
-    lhs = line.split(f"= ", 1)
+    """Bytes of the op's result (the text left of the op name).
+
+    Async ``-start`` ops have a tuple result ``(operands..., results...)``
+    (the operand aliases come first); counting every component would
+    double-count the transfer, so for those only the second half of the
+    shapes — the results — is summed.
+    """
+    lhs = line.split("= ", 1)
     if len(lhs) != 2:
         return 0
     # The result type(s) sit between '=' and the op kind.
@@ -103,7 +109,7 @@ def _result_bytes(line: str) -> int:
         default=-1,
     )
     type_text = lhs[1][:kind_pos] if kind_pos > 0 else lhs[1]
-    total = 0
+    sizes = []
     for dtype, dims in _SHAPE_RE.findall(type_text):
         if dtype not in _DTYPE_BYTES:
             continue
@@ -111,8 +117,10 @@ def _result_bytes(line: str) -> int:
         for dim in dims.split(","):
             if dim:
                 size *= int(dim)
-        total += size * _DTYPE_BYTES[dtype]
-    return total
+        sizes.append(size * _DTYPE_BYTES[dtype])
+    if "-start" in lhs[1][: kind_pos + 30] and len(sizes) >= 2:
+        sizes = sizes[len(sizes) // 2 :]
+    return sum(sizes)
 
 
 def _parse_groups(line: str, num_devices: int) -> list[list[int]]:
@@ -136,6 +144,15 @@ def _parse_groups(line: str, num_devices: int) -> list[list[int]]:
         if iota.group(4):
             ids = ids.transpose([int(d) for d in iota.group(4).split(",")])
         return ids.reshape(num_groups, group_size).tolist()
+    # collective-permute carries source_target_pairs instead of
+    # replica_groups: each pair is a two-participant "group" (traffic flows
+    # source -> target, so the pair determines which axes are crossed).
+    pairs = re.search(r"source_target_pairs=\{((?:\{\d+,\s*\d+\},?\s*)+)\}", line)
+    if pairs:
+        return [
+            [int(source), int(target)]
+            for source, target in re.findall(r"\{(\d+),\s*(\d+)\}", pairs.group(1))
+        ]
     # No groups attribute: all devices participate.
     return [list(range(num_devices))]
 

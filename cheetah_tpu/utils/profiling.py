@@ -116,17 +116,27 @@ def timeit_slope(
             "leaves."
         ) from None
     dtype = jnp.asarray(leaves[pert_idx]).dtype
+    # The carry chain runs in at least f32: in f16/bf16 the 1e-30 nudge AND
+    # the 1e-12 damping both underflow to compile-time zeros, XLA folds the
+    # body to a constant, and the loop hoists (the hazard above, re-created
+    # for narrow floats). The f32 carry's downcast into the leaf dtype is
+    # data-dependent, so XLA cannot prove the body invariant even when the
+    # runtime value rounds to zero.
+    acc_dtype = jnp.promote_types(dtype, jnp.float32)
+    nudge = jnp.asarray(1e-30, acc_dtype)
 
     @jax.jit
     def many(n, *flat):
         def body(_, carry):
             pert = list(flat)
-            pert[pert_idx] = flat[pert_idx] + carry * jnp.asarray(1e-30, dtype)
+            pert[pert_idx] = flat[pert_idx] + (carry * nudge).astype(dtype)
             out = fn(*jax.tree.unflatten(treedef, pert))
             first = jax.tree.leaves(out)[0]
-            return jnp.sum(first).astype(dtype) * jnp.asarray(1e-12, dtype)
+            return jnp.sum(first).astype(acc_dtype) * jnp.asarray(
+                1e-12, acc_dtype
+            )
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), dtype))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), acc_dtype))
 
     def fetch_time(n):
         float(np.asarray(many(n, *leaves)))  # Warm/compile.

@@ -434,18 +434,28 @@ def main() -> None:
     if args.only is None:
         import subprocess
 
-        audit = subprocess.run(
-            [sys.executable, str(pathlib.Path(__file__).parent / "dcn_audit.py")],
-            capture_output=True,
-            text=True,
-            timeout=600,
-        )
-        audit_line = audit.stdout.strip().splitlines()[-1] if audit.stdout else "{}"
+        # Never let the audit subprocess abort the run: a hang or crash here
+        # would discard the whole set of completed TPU measurements (they
+        # are only written below).
         try:
+            audit = subprocess.run(
+                [
+                    sys.executable,
+                    str(pathlib.Path(__file__).parent / "dcn_audit.py"),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            audit_lines = audit.stdout.strip().splitlines()
+            audit_line = audit_lines[-1] if audit_lines else "{}"
             details.update(json.loads(audit_line))
             print(f"dcn audit: {audit_line}", flush=True)
-        except json.JSONDecodeError:
-            print(f"dcn audit failed: {audit.stderr[-500:]}", flush=True)
+        except subprocess.TimeoutExpired:
+            print("dcn audit failed: timed out after 600 s", flush=True)
+        except (json.JSONDecodeError, OSError):
+            stderr = audit.stderr[-500:] if audit.stderr else "<no stderr>"
+            print(f"dcn audit failed: {stderr}", flush=True)
 
     # The committed artifact records the TPU numbers; a CPU run (CI) only
     # writes the --output array so it cannot clobber the TPU source of truth.

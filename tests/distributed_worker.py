@@ -57,6 +57,10 @@ def make_segment() -> ct.Segment:
 
 
 def main() -> None:
+    # Seed BEFORE jax.distributed.initialize: the per-host fold must still
+    # apply (utils.rng folds process_index lazily at draw time, so
+    # seed-then-init does not silently share default streams across hosts).
+    ct.utils.rng.seed(42)
     initialize(f"localhost:{PORT}", NUM_PROCESSES, PROCESS_ID)
     assert jax.process_count() == NUM_PROCESSES
     assert jax.local_device_count() == 4
@@ -219,7 +223,9 @@ def main() -> None:
             energy=jnp.asarray(1e8, F64),
             key=key,
         )
-        return jnp.sum(b.particles)
+        # NOT sum(particles): exact moment matching pins that to
+        # num_particles for EVERY key. |.| is key-sensitive.
+        return jnp.sum(jnp.abs(b.particles))
 
     default_fps = np.asarray(
         multihost_utils.process_allgather(beam_fingerprint())

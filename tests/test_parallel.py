@@ -540,3 +540,43 @@ def test_dcn_audit_detects_particle_allgather():
     report = collective_report(compiled, mesh, dcn_axes=("hosts",))
 
     assert report.dcn_bytes >= num_particles * 7 * 8
+
+
+def test_comm_audit_parses_permute_pairs_and_async_tuples():
+    """HLO-syntax corner cases of the audit parser: collective-permute's
+    ``source_target_pairs`` (no replica_groups — must NOT fall back to the
+    all-devices group) and async ``-start`` tuple results (operand aliases
+    must not be double-counted)."""
+    from cheetah_tpu.parallel import make_mesh
+    from cheetah_tpu.parallel.comm_audit import parse_collectives
+
+    mesh = make_mesh({"instances": 8})  # one axis, 8 devices
+
+    # Intra-pair permute ring: pairs only span single devices per "group" of
+    # two, so the crossing attribution must come from the pairs, not from a
+    # bogus all-devices fallback.
+    permute_line = (
+        "  %cp = f32[1024]{0} collective-permute(%x), "
+        "source_target_pairs={{0,1},{1,2},{2,3},{3,0}}"
+    )
+    (op,) = parse_collectives(permute_line, mesh)
+    assert op.groups == [[0, 1], [1, 2], [2, 3], [3, 0]]
+    assert op.output_bytes == 4096
+
+    # Async all-reduce-start: tuple result (operand alias, result) — count
+    # the transfer once, not twice.
+    start_line = (
+        "  %ars = (f32[4096]{0}, f32[4096]{0}) all-reduce-start(%y), "
+        "replica_groups={{0,1,2,3,4,5,6,7}}"
+    )
+    (op,) = parse_collectives(start_line, mesh)
+    assert op.output_bytes == 4096 * 4
+    assert op.crosses["instances"]
+
+    # Async all-gather-start: (small operand, big result) — count the result.
+    ag_line = (
+        "  %ags = (f32[512]{0}, f32[4096]{0}) all-gather-start(%z), "
+        "replica_groups=[1,8]<=[8]"
+    )
+    (op,) = parse_collectives(ag_line, mesh)
+    assert op.output_bytes == 4096 * 4

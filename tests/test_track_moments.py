@@ -277,3 +277,23 @@ def test_nonlinear_dkd_after_second_order_still_tracks_particles():
     beam = make_beam(5_000)
     moments = segment.track_moments(beam)
     assert_moments_match(moments, segment.track(beam))
+
+
+def test_second_order_particles_mode_restores_exact_sample_moments():
+    """track_moments(..., second_order="particles") particle-tracks through
+    second-order elements — exact sample moments, as before the closure."""
+    segment = ct.Segment(
+        [
+            ct.Quadrupole(
+                jnp.array(0.3, F64),
+                k1=jnp.array(8.0, F64),
+                tracking_method="second_order",
+                name="q1",
+            ),
+            ct.Drift(jnp.array(0.9, F64), name="d2"),
+        ],
+        name="so",
+    )
+    beam = make_beam(5_000)
+    moments = segment.track_moments(beam, second_order="particles")
+    assert_moments_match(moments, segment.track(beam))
