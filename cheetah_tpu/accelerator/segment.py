@@ -129,9 +129,7 @@ class Segment(Element):
 
         flattened_elements = []
         for element in self.elements:
-            if isinstance(element, Segment):
-                flattened_elements += element.flattened().elements
-            elif isinstance(element, Superimposed):
+            if isinstance(element, (Segment, Superimposed)):
                 flattened_elements += element.flattened().elements
             else:
                 flattened_elements.append(element)
@@ -517,9 +515,8 @@ class Segment(Element):
                 return True
             if second_order != "closure":
                 return False
-            return isinstance(todo, _SecondOrderBracket) or (
-                not isinstance(todo, Segment)
-                and getattr(todo, "tracking_method", "linear") == "second_order"
+            return isinstance(todo, _SecondOrderBracket) or _is_second_order_leaf(
+                todo
             )
 
         todos = self._plan()
@@ -636,11 +633,7 @@ class Segment(Element):
         fused: list[Element] = []
         index = 0
 
-        def is_second_order(todo: Element) -> bool:
-            return (
-                not isinstance(todo, Segment)
-                and getattr(todo, "tracking_method", "linear") == "second_order"
-            )
+        is_second_order = _is_second_order_leaf
 
         def is_run(todo: Element) -> bool:
             return isinstance(todo, Segment) and todo.is_skippable
@@ -861,6 +854,17 @@ class Segment(Element):
             f"{self.__class__.__name__}(elements={self.elements!r}, "
             f"name={self.name!r})"
         )
+
+
+def _is_second_order_leaf(element: Element) -> bool:
+    """Whether the element is a ``second_order``-tracked LEAF (not a nested
+    segment — those apply their own fusion internally). Shared by the plan's
+    bracket fusion and :meth:`Segment.track_moments`, which must agree on
+    which todos collapse via the Gaussian closure."""
+    return (
+        not isinstance(element, Segment)
+        and getattr(element, "tracking_method", "linear") == "second_order"
+    )
 
 
 def _contains_active_observer(element: Element) -> bool:

@@ -158,14 +158,22 @@ def _parse_groups(line: str, num_devices: int) -> list[list[int]]:
 
 
 def _axis_coordinates(mesh: Mesh) -> dict[int, dict[str, int]]:
-    """device id -> {axis name: index along that axis}."""
-    coords: dict[int, dict[str, int]] = {}
+    """LOGICAL device id -> {axis name: index along that axis}.
+
+    HLO ``replica_groups`` entries are logical partition ids — positions in
+    the mesh's row-major flattened device assignment — NOT ``device.id``.
+    The two differ whenever the mesh permutes devices (e.g.
+    ``mesh_utils.create_hybrid_device_mesh`` reorders by topology on real
+    TPU slices), and keying by ``device.id`` then misattributes collectives
+    across axes (verified: a permuted CPU mesh flips an intra-host
+    all-reduce to "crosses hosts").
+    """
     axis_names = list(mesh.axis_names)
     devices = np.asarray(mesh.devices)
-    for index in np.ndindex(devices.shape):
-        device = devices[index]
-        coords[device.id] = dict(zip(axis_names, index))
-    return coords
+    return {
+        logical_id: dict(zip(axis_names, index))
+        for logical_id, index in enumerate(np.ndindex(devices.shape))
+    }
 
 
 def parse_collectives(hlo_text: str, mesh: Mesh) -> list[CollectiveOp]:

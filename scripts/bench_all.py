@@ -437,6 +437,7 @@ def main() -> None:
         # Never let the audit subprocess abort the run: a hang or crash here
         # would discard the whole set of completed TPU measurements (they
         # are only written below).
+        audit = None
         try:
             audit = subprocess.run(
                 [
@@ -448,13 +449,15 @@ def main() -> None:
                 timeout=600,
             )
             audit_lines = audit.stdout.strip().splitlines()
-            audit_line = audit_lines[-1] if audit_lines else "{}"
+            if audit.returncode != 0 or not audit_lines:
+                raise json.JSONDecodeError("audit produced no JSON", "", 0)
+            audit_line = audit_lines[-1]
             details.update(json.loads(audit_line))
             print(f"dcn audit: {audit_line}", flush=True)
         except subprocess.TimeoutExpired:
             print("dcn audit failed: timed out after 600 s", flush=True)
         except (json.JSONDecodeError, OSError):
-            stderr = audit.stderr[-500:] if audit.stderr else "<no stderr>"
+            stderr = audit.stderr[-500:] if audit is not None and audit.stderr else "<no stderr>"
             print(f"dcn audit failed: {stderr}", flush=True)
 
     # The committed artifact records the TPU numbers; a CPU run (CI) only

@@ -580,3 +580,33 @@ def test_comm_audit_parses_permute_pairs_and_async_tuples():
     )
     (op,) = parse_collectives(ag_line, mesh)
     assert op.output_bytes == 4096 * 4
+
+
+def test_comm_audit_uses_logical_ids_on_permuted_meshes():
+    """HLO replica_groups hold LOGICAL partition ids (row-major mesh
+    positions), not device.id — on a device-permuted mesh (as
+    ``create_hybrid_device_mesh`` produces on real TPU slices) an intra-host
+    psum must still attribute to the fast axis, not DCN."""
+    from jax.sharding import Mesh
+    from cheetah_tpu.parallel.comm_audit import collective_report
+
+    devices = jax.devices()
+    permuted = [devices[i] for i in (3, 1, 7, 5, 0, 6, 2, 4)]
+    mesh = Mesh(np.array(permuted).reshape(2, 4), ("hosts", "devices"))
+
+    x = jax.device_put(
+        jnp.arange(8.0).reshape(2, 4), NamedSharding(mesh, P("hosts", "devices"))
+    )
+    step = jax.jit(
+        jax.shard_map(
+            lambda v: jax.lax.psum(v, "devices"),
+            mesh=mesh,
+            in_specs=P("hosts", "devices"),
+            out_specs=P("hosts", None),
+        )
+    )
+    report = collective_report(step.lower(x).compile(), mesh, dcn_axes=("hosts",))
+    assert report.dcn_bytes == 0, (
+        f"intra-host psum misattributed to DCN: {[op.line for op in report.ops]}"
+    )
+    assert report.bytes_crossing("devices") > 0
