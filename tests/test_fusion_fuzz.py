@@ -1,0 +1,162 @@
+"""Randomised lattice fuzz for trace-time fusion (seeded, deterministic).
+
+``Segment.track`` is a compiler: it re-plans the lattice into fused linear
+runs and second-order brackets at trace time. The structured tests pin known
+shapes; this fuzz sweeps randomly composed lattices (elements, tracking
+methods, nesting, apertures, inactive diagnostics) and asserts the fused
+plan always matches plain element-wise tracking — the invariant every
+optimisation pass must preserve. 30 seeded lattices x (track, jit(track),
+track_checkpointed).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cheetah_tpu as ct
+
+f64 = jnp.float64
+
+
+def _random_element(rng: np.random.Generator, index: int):
+    kind = rng.choice(
+        [
+            "drift",
+            "quad_linear",
+            "quad_second",
+            "quad_dkd",
+            "sext",
+            "dipole",
+            "cavity_off",
+            "hcor",
+            "aperture",
+            "marker",
+            "bpm_off",
+        ]
+    )
+    name = f"{kind}_{index}"
+    L = jnp.asarray(rng.uniform(0.05, 0.8), f64)
+    if kind == "drift":
+        return ct.Drift(L, name=name)
+    if kind == "quad_linear":
+        return ct.Quadrupole(L, k1=jnp.asarray(rng.uniform(-30, 30), f64), name=name)
+    if kind == "quad_second":
+        return ct.Quadrupole(
+            L,
+            k1=jnp.asarray(rng.uniform(-30, 30), f64),
+            tilt=jnp.asarray(rng.uniform(-0.3, 0.3), f64),
+            tracking_method="second_order",
+            name=name,
+        )
+    if kind == "quad_dkd":
+        return ct.Quadrupole(
+            L,
+            k1=jnp.asarray(rng.uniform(-30, 30), f64),
+            num_steps=int(rng.integers(1, 5)),
+            tracking_method="drift_kick_drift",
+            name=name,
+        )
+    if kind == "sext":
+        return ct.Sextupole(
+            L,
+            k2=jnp.asarray(rng.uniform(-80, 80), f64),
+            tracking_method=rng.choice(["linear", "second_order"]),
+            name=name,
+        )
+    if kind == "dipole":
+        return ct.Dipole(
+            L,
+            angle=jnp.asarray(rng.uniform(-0.1, 0.1), f64),
+            name=name,
+        )
+    if kind == "cavity_off":
+        return ct.Cavity(
+            L,
+            voltage=jnp.asarray(0.0, f64),
+            frequency=jnp.asarray(1.3e9, f64),
+            name=name,
+        )
+    if kind == "hcor":
+        return ct.HorizontalCorrector(
+            L, angle=jnp.asarray(rng.uniform(-1e-4, 1e-4), f64), name=name
+        )
+    if kind == "aperture":
+        return ct.Aperture(
+            x_max=jnp.asarray(rng.uniform(2e-4, 1e-3), f64),
+            y_max=jnp.asarray(rng.uniform(2e-4, 1e-3), f64),
+            shape=rng.choice(["rectangular", "elliptical"]),
+            is_active=True,
+            name=name,
+        )
+    if kind == "marker":
+        return ct.Marker(name=name)
+    return ct.BPM(is_active=False, name=name)
+
+
+def _random_segment(seed: int) -> ct.Segment:
+    rng = np.random.default_rng(seed)
+    elements = []
+    n = int(rng.integers(3, 9))
+    for i in range(n):
+        # Occasionally nest a small sub-segment.
+        if rng.random() < 0.15:
+            inner = [
+                _random_element(rng, 100 * i + j)
+                for j in range(int(rng.integers(1, 4)))
+            ]
+            elements.append(ct.Segment(inner, name=f"nest_{i}"))
+        else:
+            elements.append(_random_element(rng, i))
+    return ct.Segment(elements, name=f"fuzz_{seed}")
+
+
+def _track_elementwise(segment: ct.Segment, beam):
+    for element in segment.elements:
+        if isinstance(element, ct.Segment):
+            beam = _track_elementwise(element, beam)
+        else:
+            beam = element.track(beam)
+    return beam
+
+
+@pytest.fixture(scope="module")
+def fuzz_beam():
+    return ct.ParticleBeam.from_parameters(
+        num_particles=300,
+        sigma_x=jnp.asarray(1.2e-4, f64),
+        sigma_px=jnp.asarray(3e-5, f64),
+        sigma_y=jnp.asarray(1.1e-4, f64),
+        sigma_py=jnp.asarray(2e-5, f64),
+        sigma_tau=jnp.asarray(1e-5, f64),
+        sigma_p=jnp.asarray(2e-3, f64),
+        energy=jnp.asarray(1.2e8, f64),
+        key=jax.random.PRNGKey(99),
+        dtype=f64,
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fused_track_matches_elementwise_on_random_lattices(seed, fuzz_beam):
+    segment = _random_segment(seed)
+    fused = segment.track(fuzz_beam)
+    ref = _track_elementwise(segment.flattened(), fuzz_beam)
+    np.testing.assert_allclose(
+        fused.particles, ref.particles, rtol=1e-12, atol=1e-16,
+        err_msg=f"seed {seed}: {[type(e).__name__ for e in segment.elements]}",
+    )
+    np.testing.assert_allclose(
+        fused.survival_probabilities, ref.survival_probabilities, atol=1e-15
+    )
+    np.testing.assert_allclose(fused.s, ref.s, rtol=1e-13)
+    np.testing.assert_allclose(fused.energy, ref.energy, rtol=1e-13)
+
+
+@pytest.mark.parametrize("seed", [0, 7, 13, 21, 29])
+def test_fused_track_matches_under_jit_and_checkpoint(seed, fuzz_beam):
+    segment = _random_segment(seed)
+    ref = _track_elementwise(segment.flattened(), fuzz_beam)
+    jitted = jax.jit(lambda s, b: s.track(b))(segment, fuzz_beam)
+    np.testing.assert_allclose(jitted.particles, ref.particles, rtol=1e-12, atol=1e-16)
+    ckpt = segment.track_checkpointed(fuzz_beam)
+    np.testing.assert_allclose(ckpt.particles, ref.particles, rtol=1e-12, atol=1e-16)
