@@ -160,3 +160,57 @@ def test_fused_track_matches_under_jit_and_checkpoint(seed, fuzz_beam):
     np.testing.assert_allclose(jitted.particles, ref.particles, rtol=1e-12, atol=1e-16)
     ckpt = segment.track_checkpointed(fuzz_beam)
     np.testing.assert_allclose(ckpt.particles, ref.particles, rtol=1e-12, atol=1e-16)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_parameter_beam_fused_matches_elementwise_on_random_lattices(seed):
+    """ParameterBeam through random lattices (linear + second_order pool):
+    fused brackets + runs == element-wise moment transport."""
+    rng = np.random.default_rng(1000 + seed)
+    elements = []
+    for i in range(int(rng.integers(3, 8))):
+        kind = rng.choice(["drift", "quad_linear", "quad_second", "sext", "hcor"])
+        L = jnp.asarray(rng.uniform(0.05, 0.8), f64)
+        if kind == "drift":
+            elements.append(ct.Drift(L, name=f"d{i}"))
+        elif kind == "quad_linear":
+            elements.append(
+                ct.Quadrupole(L, k1=jnp.asarray(rng.uniform(-30, 30), f64), name=f"q{i}")
+            )
+        elif kind == "quad_second":
+            elements.append(
+                ct.Quadrupole(
+                    L,
+                    k1=jnp.asarray(rng.uniform(-30, 30), f64),
+                    tracking_method="second_order",
+                    name=f"qs{i}",
+                )
+            )
+        elif kind == "sext":
+            elements.append(
+                ct.Sextupole(
+                    L, k2=jnp.asarray(rng.uniform(-80, 80), f64), name=f"s{i}"
+                )
+            )
+        else:
+            elements.append(
+                ct.HorizontalCorrector(
+                    L, angle=jnp.asarray(rng.uniform(-1e-4, 1e-4), f64), name=f"h{i}"
+                )
+            )
+    segment = ct.Segment(elements, name=f"pfuzz_{seed}")
+
+    sigmas = jnp.asarray([1.2e-4, 3e-5, 1.1e-4, 2e-5, 1e-5, 2e-3, 0.0], f64)
+    beam = ct.ParameterBeam(
+        jnp.zeros(7, f64).at[6].set(1.0),
+        jnp.diag(sigmas**2),
+        energy=jnp.asarray(1.2e8, f64),
+        species=ct.Species("electron"),
+    )
+    fused = segment.track(beam)
+    ref = beam
+    for element in segment.elements:
+        ref = element.track(ref)
+    np.testing.assert_allclose(fused.mu, ref.mu, rtol=1e-10, atol=1e-18)
+    np.testing.assert_allclose(fused.cov, ref.cov, rtol=1e-8, atol=1e-22)
+    np.testing.assert_allclose(fused.s, ref.s, rtol=1e-13)
