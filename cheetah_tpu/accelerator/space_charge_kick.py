@@ -59,12 +59,13 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
     :param name: Unique identifier of the element.
 
     .. note:: On the default TPU dispatch path the CIC deposit/gather run as
-        Pallas kernels wrapped in ``custom_vjp``, which supports reverse-mode
-        AD (``jax.grad``/``jax.jacrev``) but not forward mode:
-        ``jax.jvp``/``jax.jacfwd`` through :meth:`track` raise. For
-        forward-mode differentiation disable the kernels with
+        Pallas kernels registered as JAX primitives with jvp, transpose and
+        batching rules — ``jax.grad``/``jax.jacrev``, ``jax.jvp``/
+        ``jax.jacfwd`` and ``jax.vmap`` through :meth:`track` all stay
+        on-kernel. Second-order AD (``jax.hessian``) is not implemented
+        through the kernels; disable them with
         ``cheetah_tpu.ops.pallas_cic.ENABLED = False`` — the XLA formulation
-        is fully jvp-capable.
+        differentiates to arbitrary order.
     """
 
     effect_length: Array

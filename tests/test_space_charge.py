@@ -392,9 +392,9 @@ def test_pallas_gather_matches_xla_path():
 
 
 def test_pallas_deposit_vjp_matches_xla_path():
-    """The custom_vjp backward pass (Pallas gather-grads kernel) produces the
-    same cotangents as differentiating the XLA tensor-product deposit —
-    positions, charges AND extent (interpret mode)."""
+    """The deposit primitive's reverse pass (Pallas gather-grads kernel)
+    produces the same cotangents as differentiating the XLA tensor-product
+    deposit — positions, charges AND extent (interpret mode)."""
     from cheetah_tpu.ops.cloud_in_cell import _deposit_tensor_product
     from cheetah_tpu.ops.pallas_cic import differentiable_pallas_deposit
 
@@ -427,8 +427,9 @@ def test_pallas_deposit_vjp_matches_xla_path():
 
 
 def test_pallas_gather_vjp_matches_xla_path():
-    """The gather custom_vjp (deposit-of-cotangents + derivative-two-hot
-    kernels) matches differentiating the XLA gather (interpret mode)."""
+    """The gather primitive's reverse pass (deposit-of-cotangents +
+    derivative-two-hot kernels) matches differentiating the XLA gather
+    (interpret mode)."""
     from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
     from cheetah_tpu.ops.pallas_cic import differentiable_pallas_gather
 
@@ -484,3 +485,144 @@ def test_pallas_gather_grads_kernel_value_matches_gather():
         np.testing.assert_allclose(
             np.asarray(grad), fd, rtol=5e-3, atol=5e-3, err_msg=f"axis {axis}"
         )
+
+
+def test_pallas_deposit_jvp_matches_xla_path():
+    """Forward-mode AD through the Pallas deposit primitive (the
+    ``cic_deposit_rows`` tangent kernel) matches differentiating the XLA
+    tensor-product deposit — tangents in positions, charges AND extent
+    (interpret mode)."""
+    from cheetah_tpu.ops.cloud_in_cell import _deposit_tensor_product
+    from cheetah_tpu.ops.pallas_cic import differentiable_pallas_deposit
+
+    shape = (8, 16, 8)
+    pos = jax.random.normal(jax.random.key(41), (2, 600, 3), jnp.float32) * 2.0
+    charges = jax.random.uniform(jax.random.key(42), (2, 600), jnp.float32)
+    extent = jnp.broadcast_to(
+        jnp.asarray([[-3.0, 3.1], [-2.9, 3.0], [-3.0, 3.0]], jnp.float32),
+        (2, 3, 2),
+    )
+    pdot = jax.random.normal(jax.random.key(43), pos.shape, jnp.float32) * 0.1
+    cdot = jax.random.normal(jax.random.key(44), charges.shape, jnp.float32)
+    edot = jax.random.normal(jax.random.key(45), extent.shape, jnp.float32) * 0.1
+
+    dep = differentiable_pallas_deposit(shape, True)
+    xla = lambda p, c, e: _deposit_tensor_product(p, c, list(shape), e)  # noqa: E731
+    val_p, tan_p = jax.jvp(dep, (pos, charges, extent), (pdot, cdot, edot))
+    val_x, tan_x = jax.jvp(xla, (pos, charges, extent), (pdot, cdot, edot))
+    np.testing.assert_allclose(
+        np.asarray(val_p), np.asarray(val_x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tan_p), np.asarray(tan_x), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pallas_gather_jvp_matches_xla_path():
+    """Forward-mode AD through the Pallas gather primitive (the combined
+    value+derivative kernel) matches differentiating the XLA gather —
+    tangents in grids AND positions (interpret mode)."""
+    from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
+    from cheetah_tpu.ops.pallas_cic import differentiable_pallas_gather
+
+    grids = jax.random.normal(jax.random.key(51), (2, 3, 8, 8, 8), jnp.float32)
+    normalized = jax.random.uniform(
+        jax.random.key(52), (2, 800, 3), jnp.float32, minval=-1.0, maxval=9.0
+    )
+    gdot = jax.random.normal(jax.random.key(53), grids.shape, jnp.float32)
+    ndot = jax.random.normal(jax.random.key(54), normalized.shape, jnp.float32)
+
+    gather = differentiable_pallas_gather(True)
+    val_p, tan_p = jax.jvp(gather, (grids, normalized), (gdot, ndot))
+    val_x, tan_x = jax.jvp(
+        cloud_in_cell_gather_3d, (grids, normalized), (gdot, ndot)
+    )
+    np.testing.assert_allclose(
+        np.asarray(val_p), np.asarray(val_x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tan_p), np.asarray(tan_x), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pallas_forward_reverse_consistency_composed():
+    """<w, J v> == <J^T w, v> through a composed deposit -> gather pipeline,
+    i.e. the primitives' jvp and transpose rules are mutually consistent
+    (interpret mode)."""
+    from cheetah_tpu.ops.pallas_cic import (
+        differentiable_pallas_deposit,
+        differentiable_pallas_gather,
+    )
+
+    shape = (8, 8, 8)
+    pos = jax.random.normal(jax.random.key(61), (1, 400, 3), jnp.float32) * 1.5
+    charges = jax.random.uniform(jax.random.key(62), (1, 400), jnp.float32)
+    extent = jnp.broadcast_to(
+        jnp.asarray([[-3.0, 3.0]] * 3, jnp.float32), (1, 3, 2)
+    )
+    dep = differentiable_pallas_deposit(shape, True)
+    gather = differentiable_pallas_gather(True)
+
+    def pipeline(p):
+        grid = dep(p, charges, extent)
+        return gather(grid[:, None], (p + 3.0) * (8.0 / 6.0))
+
+    v = jax.random.normal(jax.random.key(63), pos.shape, jnp.float32)
+    out, jv = jax.jvp(pipeline, (pos,), (v,))
+    _, vjp_fn = jax.vjp(pipeline, pos)
+    w = jax.random.normal(jax.random.key(64), out.shape, jnp.float32)
+    lhs = float(jnp.sum(w * jv))
+    rhs = float(jnp.sum(vjp_fn(w)[0] * v))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_pallas_primitives_vmap_folds_into_batch_axis():
+    """An outer ``jax.vmap`` over the deposit/gather primitives folds into
+    the kernels' native leading batch axis — values and gradients match the
+    manually stacked per-instance calls (interpret mode)."""
+    from cheetah_tpu.ops.pallas_cic import (
+        differentiable_pallas_deposit,
+        differentiable_pallas_gather,
+    )
+
+    shape = (8, 8, 8)
+    pos = jax.random.normal(jax.random.key(71), (2, 2, 300, 3), jnp.float32)
+    charges = jax.random.uniform(jax.random.key(72), (2, 2, 300), jnp.float32)
+    extent = jnp.broadcast_to(
+        jnp.asarray([[-3.0, 3.0]] * 3, jnp.float32), (2, 2, 3, 2)
+    )
+    dep = differentiable_pallas_deposit(shape, True)
+
+    out_v = jax.vmap(dep)(pos, charges, extent)
+    out_m = jnp.stack(
+        [dep(pos[i], charges[i], extent[i]) for i in range(2)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_v), np.asarray(out_m), atol=1e-6
+    )
+
+    def loss_v(p):
+        return jnp.sum(jnp.square(jax.vmap(dep)(p, charges, extent)))
+
+    def loss_m(p):
+        return jnp.sum(
+            jnp.square(
+                jnp.stack([dep(p[i], charges[i], extent[i]) for i in range(2)])
+            )
+        )
+
+    gv = jax.grad(loss_v)(pos)
+    gm = jax.grad(loss_m)(pos)
+    np.testing.assert_allclose(
+        np.asarray(gv), np.asarray(gm), rtol=1e-4, atol=1e-5
+    )
+
+    # Gather side: vmap with an unbatched grids argument broadcasts it.
+    gather = differentiable_pallas_gather(True)
+    grids = jax.random.normal(jax.random.key(73), (2, 1, 8, 8, 8), jnp.float32)
+    norm = jax.random.uniform(
+        jax.random.key(74), (3, 2, 200, 3), jnp.float32, minval=0.0, maxval=7.0
+    )
+    got = jax.vmap(gather, in_axes=(None, 0))(grids, norm)
+    want = jnp.stack([gather(grids, norm[i]) for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
