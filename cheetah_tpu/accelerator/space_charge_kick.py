@@ -59,13 +59,14 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
     :param name: Unique identifier of the element.
 
     .. note:: On the default TPU dispatch path the CIC deposit/gather run as
-        Pallas kernels registered as JAX primitives with jvp, transpose and
-        batching rules — ``jax.grad``/``jax.jacrev``, ``jax.jvp``/
-        ``jax.jacfwd`` and ``jax.vmap`` through :meth:`track` all stay
-        on-kernel. Second-order AD (``jax.hessian``) is not implemented
-        through the kernels; disable them with
-        ``cheetah_tpu.ops.pallas_cic.ENABLED = False`` — the XLA formulation
-        differentiates to arbitrary order.
+        Pallas kernels registered as JAX primitives whose jvp and transpose
+        rules re-bind the same kernels at raised derivative orders —
+        ``jax.grad``/``jax.jacrev``, ``jax.jvp``/``jax.jacfwd``,
+        ``jax.hessian`` and ``jax.vmap`` through :meth:`track` (and any
+        composition, to any order) all stay on-kernel.
+        ``cheetah_tpu.ops.pallas_cic.ENABLED = False`` falls back to the XLA
+        formulation, which differentiates identically (a.e.-equal
+        derivatives, f32 accumulation order aside).
     """
 
     effect_length: Array
