@@ -541,7 +541,11 @@ def _deposit_multi_impl(normalized, rows, *, histogram_shape, orders, interpret)
 
 
 def _deposit_multi_abstract(normalized, rows, *, histogram_shape, orders, interpret):
-    assert rows.shape[1] == len(orders), (rows.shape, orders)
+    if rows.shape[1] != len(orders):
+        raise ValueError(
+            f"cic_deposit_multi: rows axis 1 ({rows.shape[1]}) must match the "
+            f"number of derivative orders ({len(orders)}): {orders}"
+        )
     return _f32_aval((rows.shape[0], rows.shape[2], *histogram_shape))
 
 

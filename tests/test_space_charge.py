@@ -488,8 +488,8 @@ def test_pallas_gather_grads_kernel_value_matches_gather():
 
 
 def test_pallas_deposit_jvp_matches_xla_path():
-    """Forward-mode AD through the Pallas deposit primitive (the
-    ``cic_deposit_rows`` tangent kernel) matches differentiating the XLA
+    """Forward-mode AD through the Pallas deposit primitive (a raised-order
+    ``cic_deposit_multi`` tangent deposit) matches differentiating the XLA
     tensor-product deposit — tangents in positions, charges AND extent
     (interpret mode)."""
     from cheetah_tpu.ops.cloud_in_cell import _deposit_tensor_product
@@ -702,3 +702,32 @@ def test_pallas_third_order_ad_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(g3_pallas), np.asarray(g3_xla), rtol=5e-3, atol=5e-3
     )
+
+
+def test_pallas_deposit_rows_is_gather_grads_transpose():
+    """The documented adjoint pairing of the tangent-deposit building block:
+    <gather_grads(G, pos), rows> == <G, deposit_rows(pos, rows)> for every
+    (G, rows) — i.e. ``deposit_rows_3d_pallas`` IS the transpose of
+    ``gather_grads_3d_pallas`` (interpret mode)."""
+    from cheetah_tpu.ops.pallas_cic import (
+        deposit_rows_3d_pallas,
+        gather_grads_3d_pallas,
+    )
+
+    shape = (8, 8, 8)
+    grids = jax.random.normal(jax.random.key(91), (2, 1, *shape), jnp.float32)
+    normalized = jax.random.uniform(
+        jax.random.key(92), (2, 500, 3), jnp.float32, minval=-1.0, maxval=9.0
+    )
+    rows = jax.random.normal(jax.random.key(93), (2, 4, 500), jnp.float32)
+
+    val, dx, dy, dt = gather_grads_3d_pallas(grids, normalized, interpret=True)
+    lhs = float(
+        jnp.sum(val[:, 0] * rows[:, 0])
+        + jnp.sum(dx[:, 0] * rows[:, 1])
+        + jnp.sum(dy[:, 0] * rows[:, 2])
+        + jnp.sum(dt[:, 0] * rows[:, 3])
+    )
+    tangent_grid = deposit_rows_3d_pallas(normalized, rows, shape, interpret=True)
+    rhs = float(jnp.sum(grids[:, 0] * tangent_grid))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
