@@ -112,3 +112,28 @@ def test_remat_compatible_tracking(key):
     remat = jax.jit(jax.grad(jax.checkpoint(loss, static_argnums=())))(k1, segment, beam)
     np.testing.assert_allclose(remat, plain, rtol=1e-12)
     assert jnp.isfinite(plain)
+
+
+def test_elementwise_linspace():
+    """Batched linspace along a new trailing axis (ref
+    ``tests/test_elementwise_linspace.py``): exact edges, per-element
+    interpolation, and broadcastable endpoints."""
+    from cheetah_tpu.utils.elementwise_linspace import elementwise_linspace
+
+    start = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    end = jnp.asarray([[5.0, 6.0, 7.0], [8.0, 9.0, 10.0]])
+    result = elementwise_linspace(start, end, 5)
+
+    assert result.shape == (2, 3, 5)
+    np.testing.assert_allclose(result[:, :, 0], start)
+    np.testing.assert_allclose(result[:, :, -1], end)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_allclose(
+                result[i, j], np.linspace(start[i, j], end[i, j], 5), rtol=1e-6
+            )
+
+    # Broadcastable endpoints: scalar start against a (2, 3) end.
+    broad = elementwise_linspace(jnp.asarray(0.0), end, 3)
+    assert broad.shape == (2, 3, 3)
+    np.testing.assert_allclose(broad[..., 1], end / 2, rtol=1e-6)
