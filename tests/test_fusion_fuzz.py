@@ -214,3 +214,36 @@ def test_parameter_beam_fused_matches_elementwise_on_random_lattices(seed):
     np.testing.assert_allclose(fused.mu, ref.mu, rtol=1e-10, atol=1e-18)
     np.testing.assert_allclose(fused.cov, ref.cov, rtol=1e-8, atol=1e-22)
     np.testing.assert_allclose(fused.s, ref.s, rtol=1e-13)
+
+
+@pytest.mark.parametrize("seed", [1, 5, 9, 17, 23])
+def test_gradients_match_elementwise_on_random_lattices(seed, fuzz_beam):
+    """d(readout)/d(EVERY lattice parameter) — the whole segment pytree at
+    once — agrees between the fused plan and element-wise tracking. Fusion
+    must preserve not just values but the full parameter sensitivity map
+    (the flagship tuning workflow differentiates through the plan)."""
+    segment = _random_segment(seed)
+
+    def fused_loss(seg):
+        out = seg.track(fuzz_beam)
+        return out.sigma_x + 0.5 * out.sigma_y
+
+    def elementwise_loss(seg):
+        out = _track_elementwise(seg.flattened(), fuzz_beam)
+        return out.sigma_x + 0.5 * out.sigma_y
+
+    grad_fused = jax.grad(fused_loss)(segment)
+    grad_ref = jax.grad(elementwise_loss)(segment)
+
+    leaves_fused, tree_fused = jax.tree_util.tree_flatten(grad_fused)
+    leaves_ref, tree_ref = jax.tree_util.tree_flatten(grad_ref)
+    assert tree_fused == tree_ref
+    assert any(bool(jnp.any(leaf != 0)) for leaf in leaves_fused)
+    for leaf_fused, leaf_ref in zip(leaves_fused, leaves_ref):
+        np.testing.assert_allclose(
+            np.asarray(leaf_fused),
+            np.asarray(leaf_ref),
+            rtol=1e-9,
+            atol=1e-14,
+            err_msg=f"seed {seed}",
+        )
