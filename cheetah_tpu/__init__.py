@@ -43,6 +43,15 @@ from cheetah_tpu.utils.warnings import (
     VisualizationWarning,
 )
 
+# Make every element/beam pytree serializable through jax.export (the AOT
+# deployment path). Older jax without the export registry is tolerated.
+try:
+    from cheetah_tpu.utils.pytree import register_export_serialization
+
+    register_export_serialization()
+except (ImportError, AttributeError):  # pragma: no cover
+    pass
+
 # Guarded against pyproject.toml drift by tests/test_packaging.py.
 __version__ = "0.3.0"
 

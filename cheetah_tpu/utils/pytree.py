@@ -19,6 +19,7 @@ Compared to ``flax.struct.dataclass`` this gives us:
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import Any, Callable, TypeVar
 
 import jax
@@ -26,6 +27,11 @@ import jax
 T = TypeVar("T")
 
 _STATIC_MARKER = "cheetah_tpu_static"
+
+# Every class registered via ``pytree_dataclass``, in definition order —
+# consumed by ``register_export_serialization``.
+_REGISTERED_CLASSES: list[type] = []
+_EXPORT_REGISTERED: set[type] = set()
 
 
 def axis_field(default: Any = dataclasses.MISSING, **kwargs) -> dataclasses.Field:
@@ -119,9 +125,79 @@ def pytree_dataclass(cls: type[T] | None = None, *, init: bool = True) -> type[T
         if "__repr__" not in cls.__dict__:
             cls.__repr__ = _pytree_repr
 
+        _REGISTERED_CLASSES.append(cls)
         return cls
 
     return wrap if cls is None else wrap(cls)
+
+
+def _encode_static(value: Any) -> Any:
+    """JSON-able encoding of one static field value; tuples and dicts are
+    tagged so they round-trip with their exact Python types (a ``grid_shape``
+    must come back a *tuple* — it participates in jit cache keys)."""
+    if value is None or isinstance(value, (bool, int, float, str)):
+        return value
+    if isinstance(value, tuple):
+        return {"__tuple__": [_encode_static(v) for v in value]}
+    if isinstance(value, list):
+        return [_encode_static(v) for v in value]
+    if isinstance(value, dict):
+        if not all(isinstance(k, str) for k in value):
+            raise ValueError(
+                "static dict fields must have string keys to be exportable; "
+                f"got keys {list(value)!r}"
+            )
+        return {"__dict__": {k: _encode_static(v) for k, v in value.items()}}
+    raise ValueError(
+        f"static field value {value!r} ({type(value).__name__}) is not "
+        "serializable for jax.export — only None/bool/int/float/str and "
+        "tuples/lists/dicts thereof are supported"
+    )
+
+
+def _decode_static(value: Any) -> Any:
+    if isinstance(value, dict):
+        if "__tuple__" in value:
+            return tuple(_decode_static(v) for v in value["__tuple__"])
+        if "__dict__" in value:
+            return {k: _decode_static(v) for k, v in value["__dict__"].items()}
+    if isinstance(value, list):
+        return [_decode_static(v) for v in value]
+    return value
+
+
+def register_export_serialization() -> int:
+    """Register every ``pytree_dataclass`` (elements, segments, beams, ...)
+    with :mod:`jax.export`, so exported computations whose calling convention
+    mentions them can be ``serialize()``d and ``deserialize()``d — the AOT
+    deployment path. Idempotent; returns the number of newly registered
+    classes. Called automatically at package import; call again after
+    defining custom elements."""
+    from jax import export as jax_export
+
+    count = 0
+    for cls in list(_REGISTERED_CLASSES):
+        if cls in _EXPORT_REGISTERED:
+            continue
+
+        def _serialize_auxdata(static: _Static) -> bytes:
+            return json.dumps(
+                [_encode_static(v) for v in static.values]
+            ).encode("utf-8")
+
+        def _deserialize_auxdata(blob) -> _Static:
+            values = json.loads(bytes(blob).decode("utf-8"))
+            return _Static(tuple(_decode_static(v) for v in values))
+
+        jax_export.register_pytree_node_serialization(
+            cls,
+            serialized_name=f"{cls.__module__}.{cls.__qualname__}",
+            serialize_auxdata=_serialize_auxdata,
+            deserialize_auxdata=_deserialize_auxdata,
+        )
+        _EXPORT_REGISTERED.add(cls)
+        count += 1
+    return count
 
 
 def _pytree_repr(self) -> str:

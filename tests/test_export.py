@@ -1,0 +1,125 @@
+"""AOT deployment path: ``jax.export`` round trips of tracking computations.
+
+The reference's deployment story is ``torch.compile``/TorchScript; the
+TPU-native equivalent is ahead-of-time lowering plus :mod:`jax.export`
+serialisation — compile once, ship the StableHLO artifact, run it without
+retracing (or without the framework installed at all). Every element/beam
+pytree is registered for export serialisation at package import
+(``utils/pytree.py::register_export_serialization``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import export
+
+import cheetah_tpu as ct
+from cheetah_tpu.utils.pytree import (
+    _decode_static,
+    _encode_static,
+    register_export_serialization,
+)
+
+f32 = jnp.float32
+
+
+@pytest.fixture
+def segment():
+    return ct.Segment(
+        [
+            ct.Drift(jnp.asarray(1.0, f32)),
+            ct.Quadrupole(
+                jnp.asarray(0.3, f32),
+                k1=jnp.asarray(8.0, f32),
+                name="q1",
+                metadata={"pv": "Q1:STRENGTH", "nested": {"hw": [1, 2]}},
+            ),
+            ct.Screen(resolution=(128, 128), is_active=True, name="scr"),
+        ]
+    )
+
+
+@pytest.fixture
+def beam(key):
+    return ct.ParticleBeam.from_twiss(
+        num_particles=1_000,
+        beta_x=jnp.asarray(8.0, f32),
+        emittance_x=jnp.asarray(2e-9, f32),
+        beta_y=jnp.asarray(8.0, f32),
+        emittance_y=jnp.asarray(2e-9, f32),
+        energy=jnp.asarray(1.5e8, f32),
+        key=key,
+        dtype=f32,
+    )
+
+
+def test_export_serialize_roundtrip(segment, beam):
+    """Serialize -> deserialize -> call reproduces the jitted computation,
+    with Segment/ParticleBeam pytrees in the calling convention."""
+    step = jax.jit(lambda seg, b: seg.track(b).sigma_x)
+    exported = export.export(step)(segment, beam)
+    blob = exported.serialize()
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+
+    rehydrated = export.deserialize(blob)
+    got = rehydrated.call(segment, beam)
+    want = step(segment, beam)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_export_roundtrip_vectorized_instances(segment, beam):
+    """Exported computations keep the batched-instance calling convention."""
+    segment.q1.k1 = jnp.linspace(-20, 20, 8, dtype=f32)
+    step = jax.jit(lambda seg, b: seg.track(b).sigma_x)
+    rehydrated = export.deserialize(export.export(step)(segment, beam).serialize())
+    got = rehydrated.call(segment, beam)
+    assert got.shape == (8,)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(step(segment, beam)), rtol=1e-6
+    )
+
+
+def test_aot_lower_compile(segment, beam):
+    """Ahead-of-time lower+compile executes without retracing and exposes
+    cost analysis (the serving-side deployment primitive)."""
+    step = jax.jit(lambda seg, b: seg.track(b).sigma_x)
+    compiled = step.lower(segment, beam).compile()
+    np.testing.assert_allclose(
+        np.asarray(compiled(segment, beam)),
+        np.asarray(step(segment, beam)),
+        rtol=1e-7,
+    )
+    assert compiled.cost_analysis()["flops"] > 0
+
+
+def test_static_codec_roundtrips_exact_types():
+    """Tuples stay tuples and nested dicts survive — static values feed jit
+    cache keys and kernel shape parameters, so types must be exact."""
+    values = (
+        "name",
+        None,
+        True,
+        3,
+        0.5,
+        (32, 32, 32),
+        {"pv": "A:Q1", "nest": {"xs": [1, 2], "t": (4, 5)}},
+        ["a", ("b", 1)],
+    )
+    decoded = tuple(_decode_static(_encode_static(v)) for v in values)
+    assert decoded == values
+    assert isinstance(decoded[5], tuple)
+    assert isinstance(decoded[6]["nest"]["t"], tuple)
+    assert isinstance(decoded[7], list) and isinstance(decoded[7][1], tuple)
+
+
+def test_static_codec_rejects_unserializable():
+    with pytest.raises(ValueError, match="not serializable"):
+        _encode_static(lambda: None)
+    with pytest.raises(ValueError, match="string keys"):
+        _encode_static({1: "a"})
+
+
+def test_register_export_serialization_idempotent():
+    """Package import already registered everything; a second call is a
+    no-op (and custom elements defined later can call it again)."""
+    assert register_export_serialization() == 0
