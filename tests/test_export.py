@@ -123,3 +123,34 @@ def test_register_export_serialization_idempotent():
     """Package import already registered everything; a second call is a
     no-op (and custom elements defined later can call it again)."""
     assert register_export_serialization() == 0
+
+
+def test_shape_polymorphic_export(segment, beam):
+    """One artifact serves any particle count: export with the particle axis
+    symbolic (``utils.aot.symbolic_particle_beam``), call at two different
+    N, match the jitted computation at each."""
+    from cheetah_tpu.utils import aot
+
+    step = jax.jit(lambda seg, b: seg.track(b).sigma_x)
+    exported = export.export(step)(
+        aot.abstract_like(segment), aot.symbolic_particle_beam(beam)
+    )
+    rehydrated = export.deserialize(exported.serialize())
+
+    for n in (500, 2_000):
+        other = ct.ParticleBeam.from_twiss(
+            num_particles=n,
+            beta_x=jnp.asarray(8.0, f32),
+            emittance_x=jnp.asarray(2e-9, f32),
+            beta_y=jnp.asarray(8.0, f32),
+            emittance_y=jnp.asarray(2e-9, f32),
+            energy=jnp.asarray(1.5e8, f32),
+            key=jax.random.PRNGKey(3),
+            dtype=f32,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rehydrated.call(segment, other)),
+            np.asarray(step(segment, other)),
+            rtol=1e-6,
+            err_msg=f"n={n}",
+        )
