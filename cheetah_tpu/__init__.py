@@ -44,13 +44,20 @@ from cheetah_tpu.utils.warnings import (
 )
 
 # Make every element/beam pytree serializable through jax.export (the AOT
-# deployment path). Older jax without the export registry is tolerated.
-try:
-    from cheetah_tpu.utils.pytree import register_export_serialization
+# deployment path). Subpackages imported later (e.g. cheetah_tpu.parallel)
+# register their own classes at their import; older jax without the export
+# registry is tolerated — anything else propagates.
+from cheetah_tpu.utils.pytree import register_export_serialization
 
+try:
+    from jax import export as _jax_export
+except ImportError:  # pragma: no cover - older jax without jax.export
+    _jax_export = None
+
+if _jax_export is not None and hasattr(
+    _jax_export, "register_pytree_node_serialization"
+):
     register_export_serialization()
-except (ImportError, AttributeError):  # pragma: no cover
-    pass
 
 # Guarded against pyproject.toml drift by tests/test_packaging.py.
 __version__ = "0.3.0"

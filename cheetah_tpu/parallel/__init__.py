@@ -18,6 +18,20 @@ from cheetah_tpu.parallel.sharding import (
     shard_segment,
 )
 
+# This subpackage defines pytree dataclasses of its own (BatchedLatticeEnv);
+# register them for jax.export like the top-level package does.
+from cheetah_tpu.utils.pytree import register_export_serialization as _reg
+
+try:
+    from jax import export as _jax_export
+except ImportError:  # pragma: no cover - older jax without jax.export
+    _jax_export = None
+
+if _jax_export is not None and hasattr(
+    _jax_export, "register_pytree_node_serialization"
+):
+    _reg()
+
 __all__ = [
     "BatchedLatticeEnv",
     "CollectiveReport",

@@ -39,9 +39,10 @@ def symbolic_particle_beam(beam: Any, dim: str = "n") -> Any:
 
     Every leaf axis whose size equals ``beam.num_particles`` is replaced by
     the symbolic dimension ``dim`` (particles, per-particle charges,
-    survival probabilities). Caveat: another axis coincidentally equal to
-    the particle count would be symbolised too — export from a beam whose
-    particle count is unambiguous (any real-world N > 7 is).
+    survival probabilities). A leaf in which MORE than one axis matches is
+    ambiguous (e.g. ``num_particles == 7`` colliding with the coordinate
+    axis, or a batch dimension equal to the particle count) and raises —
+    export from a beam whose particle count is unambiguous instead.
 
     :param beam: A ``ParticleBeam`` (or any pytree carrying a
         ``num_particles`` attribute).
@@ -54,6 +55,13 @@ def symbolic_particle_beam(beam: Any, dim: str = "n") -> Any:
 
     def symbolize(x):
         x = jnp.asarray(x)
+        if sum(axis_size == num_particles for axis_size in x.shape) > 1:
+            raise ValueError(
+                f"ambiguous particle axis: leaf shape {x.shape} has more "
+                f"than one axis of size num_particles={num_particles} — "
+                "export from a beam whose particle count differs from its "
+                "other dimensions (coordinate axis 7, batch sizes)"
+            )
         shape = tuple(
             sym if axis_size == num_particles else axis_size
             for axis_size in x.shape

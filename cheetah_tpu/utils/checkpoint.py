@@ -79,13 +79,10 @@ def save_sharded(obj: Any, path: str, overwrite: bool = False) -> None:
     """
     import pathlib
 
-    import orbax.checkpoint as ocp
-
-    checkpointer = ocp.StandardCheckpointer()
-    checkpointer.save(
-        pathlib.Path(path).resolve(), obj, force=overwrite
-    )
-    checkpointer.wait_until_finished()
+    ocp = _require_orbax()
+    with ocp.StandardCheckpointer() as checkpointer:
+        checkpointer.save(pathlib.Path(path).resolve(), obj, force=overwrite)
+        checkpointer.wait_until_finished()
 
 
 def load_sharded(template: Any, path: str) -> Any:
@@ -98,7 +95,8 @@ def load_sharded(template: Any, path: str) -> Any:
     import pathlib
 
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
+
+    ocp = _require_orbax()
 
     def abstract(leaf):
         sharding = leaf.sharding if isinstance(leaf, jax.Array) else None
@@ -106,8 +104,19 @@ def load_sharded(template: Any, path: str) -> Any:
             jnp.shape(leaf), jnp.asarray(leaf).dtype, sharding=sharding
         )
 
-    checkpointer = ocp.StandardCheckpointer()
-    return checkpointer.restore(
-        pathlib.Path(path).resolve(),
-        jax.tree_util.tree_map(abstract, template),
-    )
+    with ocp.StandardCheckpointer() as checkpointer:
+        return checkpointer.restore(
+            pathlib.Path(path).resolve(),
+            jax.tree_util.tree_map(abstract, template),
+        )
+
+
+def _require_orbax():
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as error:  # pragma: no cover - env always has orbax
+        raise ImportError(
+            "Sharded checkpointing needs orbax-checkpoint — install the "
+            "'distributed' extra: pip install cheetah-tpu[distributed]"
+        ) from error
+    return ocp

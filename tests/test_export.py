@@ -120,9 +120,30 @@ def test_static_codec_rejects_unserializable():
 
 
 def test_register_export_serialization_idempotent():
-    """Package import already registered everything; a second call is a
-    no-op (and custom elements defined later can call it again)."""
+    """Package + subpackage imports already registered everything; a second
+    call is a no-op (and custom elements defined later can call it again)."""
+    import cheetah_tpu.parallel  # noqa: F401  (registers its own pytrees)
+
     assert register_export_serialization() == 0
+
+
+def test_symbolic_beam_rejects_ambiguous_particle_count(segment):
+    """A particle count colliding with another axis size (here the 7-wide
+    coordinate axis) must raise, not silently miscompile the artifact."""
+    from cheetah_tpu.utils import aot
+
+    tiny = ct.ParticleBeam.from_twiss(
+        num_particles=7,
+        beta_x=jnp.asarray(8.0, f32),
+        emittance_x=jnp.asarray(2e-9, f32),
+        beta_y=jnp.asarray(8.0, f32),
+        emittance_y=jnp.asarray(2e-9, f32),
+        energy=jnp.asarray(1.5e8, f32),
+        key=jax.random.PRNGKey(4),
+        dtype=f32,
+    )
+    with pytest.raises(ValueError, match="ambiguous particle axis"):
+        aot.symbolic_particle_beam(tiny)
 
 
 def test_shape_polymorphic_export(segment, beam):

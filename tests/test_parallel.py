@@ -616,6 +616,9 @@ def test_sharded_checkpoint_round_trip(tmp_path, key):
     """orbax-backed checkpointing preserves values AND shardings across the
     8-device mesh — no host gather in either direction (the npz path's
     limitation; SURVEY §5.4 at production scale)."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
     from cheetah_tpu.utils import checkpoint
 
     mesh = make_mesh({"particles": 8})
@@ -666,8 +669,10 @@ def test_sharded_checkpoint_round_trip(tmp_path, key):
 def test_sharded_checkpoint_segment_with_optimizer_state(tmp_path):
     """Whole campaign state (segment + optimiser moments) round-trips
     through the sharded path; statics come from the template."""
-    import optax
+    import pytest
 
+    pytest.importorskip("orbax.checkpoint")
+    optax = pytest.importorskip("optax")
     from cheetah_tpu.utils import checkpoint
 
     segment = make_segment()
