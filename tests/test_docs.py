@@ -46,3 +46,19 @@ def test_doc_code_blocks_execute(doc, tmp_path, monkeypatch):
             exec(block, namespace)  # noqa: S102 - executing our own docs
         except Exception as error:  # pragma: no cover - diagnostic
             pytest.fail(f"{doc.name} block {index} failed: {error!r}")
+
+
+def test_api_reference_in_sync():
+    """docs/api.md matches the live public surface — regenerate with
+    ``python scripts/gen_api_docs.py`` when the API changes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", REPO / "scripts" / "gen_api_docs.py"
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    committed = (REPO / "docs" / "api.md").read_text()
+    assert gen.generate() == committed, (
+        "docs/api.md is stale — run: python scripts/gen_api_docs.py"
+    )
