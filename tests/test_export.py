@@ -120,10 +120,13 @@ def test_static_codec_rejects_unserializable():
 
 
 def test_register_export_serialization_idempotent():
-    """Package + subpackage imports already registered everything; a second
-    call is a no-op (and custom elements defined later can call it again)."""
+    """Registering twice is a no-op. (The first call flushes any pytree
+    classes defined since package import — other tests and executed docs
+    legitimately create custom elements mid-suite — the second must find
+    nothing new and must not raise on the already-registered ones.)"""
     import cheetah_tpu.parallel  # noqa: F401  (registers its own pytrees)
 
+    register_export_serialization()
     assert register_export_serialization() == 0
 
 
