@@ -592,6 +592,58 @@ class Segment(Element):
         incoming = flush(incoming)
         return incoming, readings
 
+    def explain_plan(self) -> str:
+        """Human-readable description of what :meth:`track` compiles to —
+        the fused execution plan (one line per transport step). Use it to
+        see which elements fused into a single matmul / quadratic apply and
+        which break the fusion (diagnostics, apertures, cavities with
+        energy gain, nonlinear tracking methods)::
+
+            >>> print(segment.explain_plan())
+            1. fused linear run (1 matmul): d1, q1, d2
+            2. Cavity 'c1' (energy-changing)
+            ...
+
+        Purely informational — calling it does not affect tracking.
+        """
+
+        def names(elements) -> str:
+            labels = [element.name or type(element).__name__ for element in elements]
+            if len(labels) > 8:
+                labels = labels[:4] + ["..."] + labels[-3:]
+            return ", ".join(labels)
+
+        lines = []
+        for index, todo in enumerate(self._plan(), start=1):
+            if isinstance(todo, _SecondOrderBracket):
+                parts = []
+                if todo.upstream:
+                    parts.append(f"{len(todo.upstream)} upstream")
+                parts.append(
+                    f"{type(todo.element).__name__} "
+                    f"'{todo.element.name or ''}'"
+                )
+                if todo.downstream:
+                    parts.append(f"{len(todo.downstream)} downstream")
+                lines.append(
+                    f"{index}. second-order bracket (1 quadratic apply): "
+                    + " + ".join(parts)
+                )
+            elif isinstance(todo, Segment) and todo.is_skippable:
+                flat = todo.flattened().elements
+                lines.append(
+                    f"{index}. fused linear run (1 matmul, "
+                    f"{len(flat)} elements): {names(flat)}"
+                )
+            else:
+                method = getattr(todo, "tracking_method", None)
+                suffix = f" [{method}]" if method and method != "linear" else ""
+                lines.append(
+                    f"{index}. {type(todo).__name__} "
+                    f"'{todo.name or ''}'{suffix}"
+                )
+        return "\n".join(lines)
+
     def _plan(self) -> list[Element]:
         """Partition elements into fused skippable runs and individual
         non-skippable elements, then fold linear runs adjacent to

@@ -346,3 +346,50 @@ def test_bracket_fusion_reduces_compiled_traffic():
         f"bracket fusion regressed: fused step accesses {fused_bytes:.3g} B "
         f"vs {unfused_bytes:.3g} B element-wise"
     )
+
+
+def test_explain_plan_describes_fusion():
+    """``explain_plan`` renders the fused execution plan: brackets, fused
+    linear runs, and fusion-breaking elements with their tracking method."""
+    segment = ct.Segment(
+        [
+            ct.Drift(jnp.asarray(0.5, f64), name="d1"),
+            ct.Quadrupole(jnp.asarray(0.3, f64), k1=jnp.asarray(5.0, f64), name="q1"),
+            ct.Sextupole(
+                jnp.asarray(0.1, f64),
+                k2=jnp.asarray(30.0, f64),
+                tracking_method="second_order",
+                name="s1",
+            ),
+            ct.Drift(jnp.asarray(0.2, f64), name="d2"),
+            ct.Quadrupole(
+                jnp.asarray(0.3, f64),
+                k1=jnp.asarray(-4.0, f64),
+                tracking_method="drift_kick_drift",
+                name="q2",
+            ),
+            ct.Drift(jnp.asarray(0.4, f64), name="d3"),
+        ]
+    )
+    plan = segment.explain_plan()
+    lines = plan.splitlines()
+    assert "second-order bracket" in lines[0]
+    assert "2 upstream" in lines[0] and "1 downstream" in lines[0]
+    assert "Quadrupole 'q2' [drift_kick_drift]" in lines[1]
+    assert "fused linear run (1 matmul, 1 elements): d3" in lines[2]
+    assert len(lines) == 3
+
+    # Purely informational: tracking after explain_plan is unchanged.
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=100,
+        sigma_x=jnp.asarray(1e-4, f64),
+        energy=jnp.asarray(1.5e8, f64),
+        key=jax.random.PRNGKey(0),
+        dtype=f64,
+    )
+    np.testing.assert_allclose(
+        segment.track(beam).particles,
+        track_elementwise(segment, beam).particles,
+        rtol=0,
+        atol=1e-17,
+    )
