@@ -27,7 +27,7 @@ ROWS = [
     ("env_step_4096x10k", "RL env step: 4096 instances x 10k particles x 13 elements (f32)", "headline; HBM-bound"),
     ("env_step_4096x10k_bf16", "RL env step, bfloat16", "2x HBM traffic reduction"),
     ("env_moments_4096x10k", "RL env step via track_moments (exact moments fast path)", "same sigma readout, no particle materialisation"),
-    ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "quadratic form via the shared (N, 49) outer-product matrix"),
+    ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "bracket fusion: adjacent linear runs folded into the T-tensor, one (N, 49) quadratic apply"),
     ("env_second_order_moments_4096x10k", "RL env step, second_order via track_moments (Gaussian closure)", "moments through the fused bracket, no particle array"),
     ("env_dkd_4096x10k", "RL env step, tuned quad tracked drift_kick_drift", "bmadx momentum-dependent coordinate kernels"),
     ("parameter_beam_4096_env_step", "ParameterBeam env step, 4096 instances", "moments-only transport"),
@@ -75,7 +75,21 @@ def render(details: dict) -> str:
         pct = details.get(f"{key}_hbm_pct")
         if pct is not None:
             extra.append(f"{pct}% of HBM roofline")
+        vpu = details.get(f"{key}_vpu_pct")
+        if vpu is not None:
+            extra.append(f"{vpu}% of the measured VPU transcendental peak")
         lines.append(f"| {label} | {ms:.3f} ms | {'; '.join(extra)} |")
+
+    dcn = details.get("dcn_bytes_per_step")
+    if dcn is not None:
+        lines.append("")
+        lines.append(
+            f"DCN audit: **{int(dcn):,} bytes/step** cross the `hosts` axis "
+            "of the compiled sharded train step "
+            f"(`{details.get('workload', 'env_step_grad')}`) — "
+            "O(settings + readouts), not O(particles) (`scripts/dcn_audit.py`, "
+            "guarded by `tests/test_parallel.py`)."
+        )
 
     tp = details.get("transports_per_s")
     tp16 = details.get("transports_per_s_bf16")
