@@ -152,8 +152,9 @@ class Quadrupole(Element):
         rel_p = 1.0 + pz  # Particle's relative momentum (P/P0)
         k1 = self.k1[..., None] / rel_p
 
-        tx, dzx = bmadx.calculate_quadrupole_coefficients(-k1, self.length, rel_p)
-        ty, dzy = bmadx.calculate_quadrupole_coefficients(k1, self.length, rel_p)
+        (tx, dzx), (ty, dzy) = bmadx.calculate_quadrupole_coefficients_both(
+            k1, self.length, rel_p
+        )
         dz_low_energy = bmadx.low_energy_z_correction(pz, p0c, mc2, self.length)
 
         z = (

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from cheetah_tpu.constants import speed_of_light
-from cheetah_tpu.utils.maths import cos_sqrt, sinc_sqrt
+from cheetah_tpu.utils.maths import cos_sinc_sqrt_pm, cos_sqrt, sinc_sqrt
 
 
 def cheetah_to_bmad_z_pz(
@@ -179,6 +179,46 @@ def calculate_quadrupole_coefficients(
     c3 = -(cx * sx + length_) / (4 * jnp.square(rel_p))
 
     return [[a11, a12], [a21, a22]], [c1, c2, c3]
+
+
+def _quad_plane(
+    k1: Array, cx: Array, si: Array, length_: Array, rel_p: Array
+) -> tuple[list[list[Array]], list[Array]]:
+    """Assemble one plane's 2x2 matrix and z-change coefficients from the
+    focusing functions ``cx = cos_sqrt(-k1 L^2)`` and ``si = sinc_sqrt(-k1 L^2)``."""
+    sx = si * length_
+    a = [[cx, sx / rel_p], [k1 * sx * rel_p, cx]]
+    c = [
+        k1 * (-cx * sx + length_) / 4,
+        -k1 * jnp.square(sx) / (2 * rel_p),
+        -(cx * sx + length_) / (4 * jnp.square(rel_p)),
+    ]
+    return a, c
+
+
+def calculate_quadrupole_coefficients_both(
+    k1: Array, length: Array, rel_p: Array
+) -> tuple[
+    tuple[list[list[Array]], list[Array]], tuple[list[list[Array]], list[Array]]
+]:
+    """Coefficients of BOTH transverse planes of a quadrupole — the
+    ``(-k1, +k1)`` pair the drift-kick-drift step needs — from one shared
+    transcendental evaluation (ref ``bmadx.py:218-253`` called twice).
+
+    Returns ``((tx, dzx), (ty, dzy))``, exactly equal to
+    ``(calculate_quadrupole_coefficients(-k1, length, rel_p),
+    calculate_quadrupole_coefficients(k1, length, rel_p))`` but ~5x cheaper
+    in transcendental count: the two planes' arguments are ``+-k1 L^2``, so
+    :func:`~cheetah_tpu.utils.maths.cos_sinc_sqrt_pm` serves both from a
+    single ``sqrt``/``cos``/``sin``/``expm1``.
+    """
+    length_ = jnp.asarray(length)[..., None]
+    u = k1 * jnp.square(length_)  # arg of the x plane (strength -k1)
+    cx, six, cy, siy = cos_sinc_sqrt_pm(u)
+    return (
+        _quad_plane(-k1, cx, six, length_, rel_p),
+        _quad_plane(k1, cy, siy, length_, rel_p),
+    )
 
 
 def sqrt_one(x: Array) -> Array:

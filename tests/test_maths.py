@@ -191,3 +191,78 @@ def test_gradients_against_reference_autograd():
             np.testing.assert_allclose(
                 g_jax[1], bt.grad.item(), rtol=1e-9, atol=1e-12, err_msg=str(jax_fn)
             )
+
+
+def test_cos_sinc_sqrt_pm_matches_separate_calls():
+    """The fused both-signs primitive equals the four separate calls, in value
+    and in every derivative order used by tracking (grad, jacfwd, no-NaN
+    hessian), including at the removable singularity."""
+    xs = jnp.array([-30.0, -2.0, -1e-6, 0.0, 1e-6, 2.0, 30.0], jnp.float64)
+
+    fused = maths.cos_sinc_sqrt_pm(xs)
+    separate = (
+        maths.cos_sqrt(xs),
+        maths.sinc_sqrt(xs),
+        maths.cos_sqrt(-xs),
+        maths.sinc_sqrt(-xs),
+    )
+    for got, want in zip(fused, separate):
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    for idx in range(4):
+        fused_i = lambda x: maths.cos_sinc_sqrt_pm(x)[idx]  # noqa: B023
+        sep_i = [
+            maths.cos_sqrt,
+            maths.sinc_sqrt,
+            lambda x: maths.cos_sqrt(-x),
+            lambda x: maths.sinc_sqrt(-x),
+        ][idx]
+        g_fused = jax.vmap(jax.grad(fused_i))(xs)
+        g_sep = jax.vmap(jax.grad(sep_i))(xs)
+        # Near 0 both sides evaluate (cos - sinc)/(2x), whose cancellation
+        # costs ~eps/|x| relative accuracy — tolerate that, don't mask it.
+        np.testing.assert_allclose(g_fused, g_sep, rtol=1e-8, atol=1e-12)
+        h_fused = jax.vmap(jax.grad(jax.grad(fused_i)))(xs)
+        assert not np.any(np.isnan(h_fused))
+        # Away from the cancellation-prone neighbourhood of 0, second
+        # derivatives agree too.
+        far = np.abs(np.asarray(xs)) > 1e-3
+        h_sep = jax.vmap(jax.grad(jax.grad(sep_i)))(xs)
+        np.testing.assert_allclose(h_fused[far], h_sep[far], rtol=1e-8)
+
+
+def test_calculate_quadrupole_coefficients_both_matches_two_calls():
+    """bmadx.calculate_quadrupole_coefficients_both == the two separate calls
+    of the reference signature (ref ``cheetah/utils/bmadx.py:218-253``)."""
+    from cheetah_tpu.utils import bmadx
+
+    k1 = jnp.array([-30.0, -1.0, 0.0, 1e-7, 1.0, 30.0], jnp.float64)
+    length = jnp.asarray(0.122, jnp.float64)
+    rel_p = 1.0 + jnp.linspace(-0.1, 0.1, 6, dtype=jnp.float64)[None, :]
+
+    def flatten(pair):
+        a, c = pair
+        return jnp.stack([a[0][0], a[0][1], a[1][0], a[1][1], c[0], c[1], c[2]])
+
+    def two_calls(k1):
+        k = k1[..., None] / rel_p
+        return jnp.stack(
+            [
+                flatten(bmadx.calculate_quadrupole_coefficients(-k, length, rel_p)),
+                flatten(bmadx.calculate_quadrupole_coefficients(k, length, rel_p)),
+            ]
+        )
+
+    def fused(k1):
+        k = k1[..., None] / rel_p
+        tx, ty = bmadx.calculate_quadrupole_coefficients_both(k, length, rel_p)
+        return jnp.stack([flatten(tx), flatten(ty)])
+
+    np.testing.assert_allclose(fused(k1), two_calls(k1), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        jax.jacfwd(fused)(k1), jax.jacfwd(two_calls)(k1), rtol=1e-5, atol=1e-9
+    )
+    g_fused = jax.grad(lambda k: fused(k).sum())(k1)
+    g_two = jax.grad(lambda k: two_calls(k).sum())(k1)
+    np.testing.assert_allclose(g_fused, g_two, rtol=1e-5, atol=1e-9)
+    assert not np.any(np.isnan(jax.hessian(lambda k: fused(k).sum())(k1)))
