@@ -428,8 +428,11 @@ def pallas_deposit_available(histogram_shape) -> bool:
 #               axes with ``o[axis] == 0`` of the ``o + e_axis`` term times
 #               the axis tangent (raising an axis already at order 1 is
 #               identically zero a.e. — the hat weight is piecewise linear).
-#               Both rules re-bind the SAME primitives at the raised orders,
-#               fused into one kernel call per rule.
+#               Both rules re-bind the SAME primitives at the raised orders
+#               (the gather rule binds the primal and the raised set as two
+#               calls — measured 3x faster than one fused union kernel on
+#               first-order value_and_grad; the deposit rule's tangent is a
+#               single summed deposit, which transposes well).
 # - transpose:  deposit <-> gather at identical orders (the adjoint of
 #               interpolation is deposition, order by order).
 # - batching:   extra vmap dims fold into the kernels' native leading batch
@@ -480,18 +483,28 @@ def _gather_multi_jvp(primals, tangents, *, orders, interpret):
     gdot, ndot = tangents
     has_n = not isinstance(ndot, _ad.Zero)
 
-    # One fused kernel call serves the primal AND (at raised orders) the
-    # position tangent.
-    union = list(orders)
+    # The primal binds at its own orders; the position tangent's raised-order
+    # gathers bind SEPARATELY (deduplicated). Fusing both into one union
+    # kernel measured 3x slower end-to-end on first-order value_and_grad
+    # (0.37 vs 0.13 ms on the 100k/32^3 microbench, scripts/sc_grad_anatomy.py
+    # + /tmp bisection, round 4): the split keeps the primal value kernel at
+    # its wide particle chunk and out of the multi-lead kernel's schedule.
+    primal_out = list(
+        cic_gather_multi_p.bind(grids, normalized, orders=orders, interpret=interpret)
+    )
+
+    raised_outs: dict[tuple[int, int, int], Array] = {}
     if has_n:
+        need: list[tuple[int, int, int]] = []
         for o in orders:
             for _, r in _raised(o):
-                if r not in union:
-                    union.append(r)
-    outs = cic_gather_multi_p.bind(
-        grids, normalized, orders=tuple(union), interpret=interpret
-    )
-    primal_out = list(outs[: len(orders)])
+                if r not in need:
+                    need.append(r)
+        if need:
+            outs_r = cic_gather_multi_p.bind(
+                grids, normalized, orders=tuple(need), interpret=interpret
+            )
+            raised_outs = dict(zip(need, outs_r))
 
     if not isinstance(gdot, _ad.Zero):
         g_terms = cic_gather_multi_p.bind(
@@ -504,7 +517,7 @@ def _gather_multi_jvp(primals, tangents, *, orders, interpret):
         t = None
         if has_n:
             for axis, r in _raised(o):
-                term = outs[union.index(r)] * ndot32[..., axis][:, None, :]
+                term = raised_outs[r] * ndot32[..., axis][:, None, :]
                 t = term if t is None else t + term
         if not isinstance(gdot, _ad.Zero):
             t = g_terms[i] if t is None else t + g_terms[i]

@@ -731,3 +731,55 @@ def test_pallas_deposit_rows_is_gather_grads_transpose():
     tangent_grid = deposit_rows_3d_pallas(normalized, rows, shape, interpret=True)
     rhs = float(jnp.sum(grids[:, 0] * tangent_grid))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_pallas_primitives_second_order_autodiff():
+    """Any-order contract: hessian and jacfwd-of-grad through the composed
+    deposit -> gather pipeline stay on the primitives and match the XLA
+    two-hot path (interpret mode). Guards the split-bind jvp rule: the
+    first-order fast path must not break raised-order differentiation."""
+    from cheetah_tpu.ops.cloud_in_cell import (
+        cloud_in_cell_charge_deposition,
+        cloud_in_cell_gather_3d,
+    )
+    from cheetah_tpu.ops.pallas_cic import (
+        differentiable_pallas_deposit,
+        differentiable_pallas_gather,
+    )
+
+    shape = (8, 8, 8)
+    num = 200
+    pos = jax.random.normal(jax.random.key(71), (1, num, 3), jnp.float32) * 1.5
+    charges = jax.random.uniform(jax.random.key(72), (1, num), jnp.float32)
+    extent = jnp.broadcast_to(
+        jnp.asarray([[-3.0, 3.0]] * 3, jnp.float32), (1, 3, 2)
+    )
+    dep = differentiable_pallas_deposit(shape, True)
+    gather = differentiable_pallas_gather(True)
+
+    def loss_pallas(scale):
+        p = pos * scale
+        grid = dep(p, charges, extent)
+        vals = gather(grid[:, None], (p + 3.0) * (8.0 / 6.0))
+        return jnp.sum(jnp.square(vals))
+
+    def loss_xla(scale):
+        p = pos * scale
+        grid = cloud_in_cell_charge_deposition(p, shape, extent, charges)
+        vals = cloud_in_cell_gather_3d(grid[:, None], (p + 3.0) * (8.0 / 6.0))
+        return jnp.sum(jnp.square(vals))
+
+    s = jnp.asarray(1.1, jnp.float32)
+    np.testing.assert_allclose(
+        float(loss_pallas(s)), float(loss_xla(s)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(jax.grad(loss_pallas)(s)), float(jax.grad(loss_xla)(s)), rtol=1e-3
+    )
+    h_pallas = float(jax.hessian(loss_pallas)(s))
+    h_xla = float(jax.hessian(loss_xla)(s))
+    assert np.isfinite(h_pallas)
+    np.testing.assert_allclose(h_pallas, h_xla, rtol=1e-2)
+    # Forward-over-reverse as well (the mixed composition grad uses).
+    fr_pallas = float(jax.jacfwd(jax.grad(loss_pallas))(s))
+    np.testing.assert_allclose(fr_pallas, h_xla, rtol=1e-2)
