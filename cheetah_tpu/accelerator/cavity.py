@@ -39,17 +39,19 @@ class Cavity(Element):
       (``cavity.py:157``); here the branch is selected *per vector instance*
       with ``jnp.where`` and guarded denominators, which matches the
       reference for uniform batches and is well-defined for mixed ones.
-    - ``is_skippable`` is ``False`` regardless of voltage by default (the
-      reference uses the runtime value, ``cavity.py:86-92``): an inactive
-      cavity's R-matrix degenerates to the drift map, so only a fusion
-      opportunity is lost, not correctness. Opt back into the reference's
-      fusion with ``skippable_when_off=True``: the cavity then reports itself
-      skippable whenever its voltage is a *concrete* zero at partition time
-      (under tracing it stays conservative, i.e. non-skippable). Note the
-      reference's own fused track deviates ~4e-8 from its element-wise track
-      for exactly this case (see ``tests/test_full_ares.py``) because the
-      bespoke ``track`` recomputes the energy spread even at zero voltage;
-      the flag trades that tiny deviation for fusion speed.
+    - ``is_skippable`` matches the reference's runtime behaviour
+      (``cavity.py:86-92``) by default: a cavity whose voltage is a
+      *concrete* zero at partition time reports itself skippable, so idle RF
+      fuses into the surrounding linear run exactly as the reference merges
+      it. Under tracing (voltage is a jit argument) the conservative answer
+      is ``False``, keeping jit valid; flipping the voltage of a fused
+      lattice re-partitions (and hence retraces) on the next ``track``.
+      Opt out with ``skippable_when_off=False`` to always run the bespoke
+      ``track``: the reference's own fused track deviates ~4e-8 from its
+      element-wise track for idle cavities (see ``tests/test_full_ares.py``)
+      because the bespoke ``track`` recomputes the energy spread even at
+      zero voltage; the flag trades fusion speed for that element-wise
+      semantics.
 
     Known model limitation (shared with the reference, verified numerically):
     at zero-crossing phase (``phase = +-90 deg``) the standing-wave ``r55``
@@ -75,7 +77,7 @@ class Cavity(Element):
     frequency: Array
     name: str = static_field(None)
     cavity_type: str = static_field("standing_wave")
-    skippable_when_off: bool = static_field(False)
+    skippable_when_off: bool = static_field(True)
     metadata: dict = static_field(None)
 
     def __init__(
@@ -85,7 +87,7 @@ class Cavity(Element):
         phase: Array | None = None,
         frequency: Array | None = None,
         cavity_type: str = "standing_wave",
-        skippable_when_off: bool = False,
+        skippable_when_off: bool = True,
         name: str | None = None,
         sanitize_name: bool | None = None,
         metadata: dict | None = None,
@@ -410,7 +412,8 @@ class Cavity(Element):
             "phase",
             "frequency",
             "cavity_type",
-            # Only when enabled: default cavities keep a schema the reference
-            # loader accepts (LatticeJSON interop); the flag is an extension.
-            *(["skippable_when_off"] if self.skippable_when_off else []),
+            # Only when opted out: default cavities keep a schema the
+            # reference loader accepts (LatticeJSON interop); the flag is an
+            # extension.
+            *([] if self.skippable_when_off else ["skippable_when_off"]),
         ]

@@ -366,16 +366,16 @@ def test_cavity_zero_crossing_warns():
 
 
 def test_cavity_skippable_when_off(key):
-    """`skippable_when_off=True` lets a zero-voltage cavity fuse with its
-    neighbours (recovering the reference's cavity.py:86-92 fusion); with
-    voltage applied, or under tracing, it stays non-skippable."""
+    """A zero-voltage cavity fuses with its neighbours by default (the
+    reference's cavity.py:86-92 runtime behaviour); with voltage applied, or
+    under tracing, it stays non-skippable, and `skippable_when_off=False`
+    opts out entirely."""
     drift = ct.Drift(jnp.array(0.5))
     cavity_off = ct.Cavity(
         length=jnp.array(1.0),
         voltage=jnp.array(0.0),
         phase=jnp.array(0.0),
         frequency=jnp.array(1.3e9),
-        skippable_when_off=True,
     )
     assert cavity_off.is_skippable
     cavity_on = ct.Cavity(
@@ -383,12 +383,13 @@ def test_cavity_skippable_when_off(key):
         voltage=jnp.array(1e6),
         phase=jnp.array(0.0),
         frequency=jnp.array(1.3e9),
-        skippable_when_off=True,
     )
     assert not cavity_on.is_skippable
     assert not ct.Cavity(
-        length=jnp.array(1.0), voltage=jnp.array(0.0)
-    ).is_skippable  # Default stays statically non-skippable.
+        length=jnp.array(1.0),
+        voltage=jnp.array(0.0),
+        skippable_when_off=False,
+    ).is_skippable  # Opt-out keeps the bespoke element-wise track.
 
     segment = ct.Segment([drift, cavity_off, drift])
     beam = ct.ParticleBeam.from_parameters(
