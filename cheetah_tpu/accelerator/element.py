@@ -30,6 +30,37 @@ from cheetah_tpu.utils.warnings import DirtyNameWarning, PhysicsWarning
 generate_unique_name = UniqueNameGenerator(prefix="unnamed_element")
 
 
+def sum_element_lengths(lengths: list) -> Array:
+    """Broadcast-sum of per-element lengths, host-cheap when concrete.
+
+    Eager lattice surgery sums thousands of (tiny) length arrays; doing that
+    with one device op per element costs one dispatch each — and one host
+    sync each on remote-attached devices. When every value is concrete, ONE
+    batched ``device_get`` plus a numpy reduction replaces them all. Under
+    tracing (any value is a tracer) the device-side reduction is kept so the
+    result stays differentiable.
+    """
+    import jax
+    import numpy as np
+
+    lengths = [
+        value if isinstance(value, jax.core.Tracer) else jnp.asarray(value)
+        for value in lengths
+    ]
+    if any(isinstance(value, jax.core.Tracer) for value in lengths):
+        if all(value.shape == lengths[0].shape for value in lengths):
+            return jnp.sum(jnp.stack(lengths), axis=0)
+        total = lengths[0]
+        for value in lengths[1:]:
+            total = total + value
+        return total
+    host = jax.device_get(lengths)
+    total = host[0]
+    for value in host[1:]:
+        total = np.add(total, value)
+    return jnp.asarray(total)
+
+
 def second_order_moment_transport(
     T: Array, mu: Array, cov: Array
 ) -> tuple[Array, Array]:

