@@ -490,15 +490,21 @@ class ParticleBeam(Beam):
         cls, path: str, energy: Array, dtype: jnp.dtype | None = None
     ) -> "ParticleBeam":
         """Load an openPMD particle group HDF5 file (ref
-        ``particle_beam.py:904``)."""
+        ``particle_beam.py:904``).
+
+        Uses ``pmd_beamphysics`` when installed (as the reference requires);
+        otherwise falls back to the native h5py reader in
+        :mod:`cheetah_tpu.converters.openpmd` — same schema, no optional
+        dependency.
+        """
         try:
             import pmd_beamphysics as openpmd
+
+            particle_group = openpmd.ParticleGroup(str(path))
         except ImportError:
-            raise ImportError(
-                "To use the openPMD beam import, openPMD-beamphysics must be "
-                "installed."
-            )
-        particle_group = openpmd.ParticleGroup(path)
+            from cheetah_tpu.converters.openpmd import read_particle_group_h5
+
+            particle_group = read_particle_group_h5(path)
         return cls.from_openpmd_particlegroup(particle_group, energy, dtype=dtype)
 
     @classmethod
@@ -530,20 +536,24 @@ class ParticleBeam(Beam):
         )
 
     def save_as_openpmd_h5(self, path: str) -> None:
-        """Save the beam as an openPMD particle group HDF5 file."""
-        self.to_openpmd_particlegroup().write(path)
+        """Save the beam as an openPMD particle group HDF5 file.
 
-    def to_openpmd_particlegroup(self):
-        """Convert to an openPMD ``ParticleGroup`` (ref
-        ``particle_beam.py:984-1032``). Unvectorised beams only; survival
-        probabilities are thresholded at 0.5 into boolean status flags."""
+        Uses ``pmd_beamphysics`` when installed (as the reference requires);
+        otherwise writes the same openPMD BeamPhysics schema natively via
+        :mod:`cheetah_tpu.converters.openpmd`.
+        """
         try:
-            import pmd_beamphysics as openpmd
+            self.to_openpmd_particlegroup().write(str(path))
         except ImportError:
-            raise ImportError(
-                "To use the openPMD beam export, openPMD-beamphysics must be "
-                "installed."
-            )
+            from cheetah_tpu.converters.openpmd import write_particle_group_h5
+
+            write_particle_group_h5(self._to_openpmd_data(), path)
+
+    def _to_openpmd_data(self) -> dict:
+        """The beam as an openPMD BeamPhysics data dict — the exact dict the
+        reference passes to ``openpmd.ParticleGroup(data=...)`` (ref
+        ``particle_beam.py:1019-1030``): positions in m, momenta in eV/c,
+        time in s, macro charges in C, integer status flags."""
         import numpy as np
 
         if self.particles.ndim != 2:
@@ -560,7 +570,7 @@ class ParticleBeam(Beam):
         t = self.tau / constants.speed_of_light
         status = self.survival_probabilities > 0.5
 
-        data = {
+        return {
             "x": np.asarray(self.x),
             "y": np.asarray(self.y),
             "z": np.asarray(self.tau),
@@ -572,7 +582,25 @@ class ParticleBeam(Beam):
             "status": np.asarray(status).astype(int),
             "species": self.species.name,
         }
-        return openpmd.ParticleGroup(data=data)
+
+    def to_openpmd_particlegroup(self):
+        """Convert to an openPMD ``ParticleGroup`` (ref
+        ``particle_beam.py:984-1032``). Unvectorised beams only; survival
+        probabilities are thresholded at 0.5 into boolean status flags.
+
+        Requires ``pmd_beamphysics`` (the returned object is its class); for
+        dependency-free file I/O use :meth:`save_as_openpmd_h5` /
+        :meth:`from_openpmd_file`, which fall back to the native h5py layer.
+        """
+        try:
+            import pmd_beamphysics as openpmd
+        except ImportError:
+            raise ImportError(
+                "To use the openPMD beam export, openPMD-beamphysics must be "
+                "installed."
+            )
+
+        return openpmd.ParticleGroup(data=self._to_openpmd_data())
 
     @classmethod
     def from_xyz_pxpypz(
