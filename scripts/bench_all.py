@@ -15,7 +15,8 @@ subset for CI runners):
   full 2448x2040 resolution, KDE at binning 8).
 - Space-charge kick (drift-kick-drift segment, 32^3 grid) at 100k and 1M
   particles, Pallas kernels vs the XLA two-hot path, forward AND
-  value_and_grad (the custom_vjp adjoints keep the backward pass on-kernel).
+  value_and_grad (the primitives' jvp/transpose rules keep the backward pass
+  on-kernel).
 - CIC deposit microbenchmark, 100k and 1M, Pallas vs XLA.
 - Full 195-element ARES stage-3 lattice, 100k particles.
 
@@ -203,8 +204,9 @@ def main() -> None:
 
     if wants("env_dkd"):
         # Drift-kick-drift variant: the tuned quad uses the closed-form
-        # Bmad-X map (one elementwise pass; num_steps only scales the
-        # per-step z corrections — see Quadrupole._track_drift_kick_drift).
+        # Bmad-X map (one elementwise pass; num_steps has no effect on cost
+        # or result for this element — the z correction telescopes exactly,
+        # see Quadrupole._track_drift_kick_drift).
         seg3 = ares_ea_subcell(dtype=f32)
         seg3.AREAMQZM1.tracking_method = "drift_kick_drift"
         seg3.AREAMQZM1.num_steps = 5
@@ -229,12 +231,24 @@ def main() -> None:
 
             try:
                 n_trans = _transcendentals(env_step, seg3, beam_10k)
-                probe = jnp.linspace(
-                    0.0, 1.0, num_instances * num_particles, dtype=f32
-                ).reshape(num_instances, num_particles)
-                sin_reduce = jax.jit(lambda x: jnp.sin(x).sum())
-                dt_sin = timeit_slope(sin_reduce, probe, iters=20)
-                n_trans_sin = _transcendentals(sin_reduce, probe)
+                # Compute-bound peak probe: chain sins over a VMEM-resident
+                # array inside a fori_loop, so HBM traffic per transcendental
+                # is ~zero (a single flat jnp.sin over a large array moves
+                # ~8 B per eval and can be memory-bound, understating the
+                # peak and inflating vpu_pct past 100%). The count is
+                # chain * size by construction (cost_analysis counts a loop
+                # body once, so it cannot be used here).
+                sin_chain_length = 128
+                probe = jnp.linspace(0.1, 1.0, 1 << 20, dtype=f32)  # 4 MB
+
+                def sin_chain(x):
+                    stirred = jax.lax.fori_loop(
+                        0, sin_chain_length, lambda i, acc: jnp.sin(acc), x
+                    )
+                    return stirred.sum()
+
+                dt_sin = timeit_slope(jax.jit(sin_chain), probe, iters=20)
+                n_trans_sin = float(sin_chain_length * probe.size)
                 if n_trans > 0 and n_trans_sin > 0:
                     peak_rate = n_trans_sin / dt_sin
                     details[f"{dkd_name}_transcendentals"] = n_trans
@@ -514,9 +528,22 @@ def main() -> None:
         print(f"wrote {out_path}")
     elif args.only is not None and args.merge and on_tpu and out_path.exists():
         merged = json.loads(out_path.read_text())
-        merged.update({k: v for k, v in details.items() if k != "backend"})
+        new_keys = sorted(k for k in details if k != "backend")
+        merged.update({k: details[k] for k in new_keys})
+        # Mark mixed-run artifacts: derived cross-key ratios may compare
+        # measurements from different sessions (the full-run invariant
+        # "every number comes from one run" no longer holds).
+        merged["merged"] = True
+        merged.setdefault("merged_keys", [])
+        merged["merged_keys"] = sorted(set(merged["merged_keys"]) | set(new_keys))
         out_path.write_text(json.dumps(merged, indent=2) + "\n")
-        print(f"merged {len(details) - 1} keys into {out_path}")
+        print(f"merged {len(new_keys)} keys into {out_path}: {new_keys}")
+    elif args.merge:
+        print(
+            "warning: --merge skipped "
+            f"({'not on TPU' if not on_tpu else 'no existing ' + str(out_path)})",
+            flush=True,
+        )
 
     if args.output:
         array = [

@@ -39,7 +39,7 @@ ROWS = [
     ("nonlinear_chain_100k", "Cavity + dkd Dipole + Sextupole chain, 100k particles (BASELINE config 3)", ""),
     ("space_charge_100k_pallas", "Space-charge segment (2 kicks, 32^3), 100k — Pallas", ""),
     ("space_charge_100k_xla", "Space-charge segment, 100k — XLA two-hot", ""),
-    ("space_charge_grad_100k_pallas", "Space-charge segment, 100k, value_and_grad — Pallas", "custom_vjp adjoints"),
+    ("space_charge_grad_100k_pallas", "Space-charge segment, 100k, value_and_grad — Pallas", "primitive jvp/transpose adjoints"),
     ("space_charge_grad_100k_xla", "Space-charge segment, 100k, value_and_grad — XLA", ""),
     ("space_charge_1M_pallas", "Space-charge segment, 1M — Pallas", ""),
     ("space_charge_1M_xla", "Space-charge segment, 1M — XLA two-hot", ""),
