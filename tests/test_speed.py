@@ -2,6 +2,9 @@
 1e5 particles through the ARES EA subcell incl. screen readout in < 0.1 s on
 CI CPU) and optimisation equivalence (``test_speed_optimizations.py``)."""
 
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -82,6 +85,34 @@ def test_track_100k_with_screen_reference_budget(key):
     elapsed = min(timings)
 
     assert elapsed < 0.1, f"Tracking took {elapsed:.3f} s (limit 0.1 s)"
+
+
+def test_reference_budget_enforced_in_default_gate():
+    """The strict < 0.1 s budget above IS part of the default gate: it runs
+    here in a fresh subprocess (clean host, no suite memory pressure — the
+    reason it is `standalone`-marked), so the reference's CI contract
+    (``tests/test_speed.py:14-35``) is continuously enforced by a plain
+    ``pytest tests/`` while the measurement stays isolated."""
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "-m",
+            "standalone",
+            "-q",
+            os.path.join(os.path.dirname(__file__), "test_speed.py"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, (
+        "strict speed budget failed in isolated run:\n"
+        + result.stdout[-2000:]
+        + result.stderr[-2000:]
+    )
+    assert "1 passed" in result.stdout
 
 
 def test_merged_segment_is_equivalent_and_not_slower(key):
