@@ -185,6 +185,12 @@ class Screen(ZeroLengthMixin, Element):
         if isinstance(incoming, ParameterBeam):
             mu = incoming.mu
             misalignment = self.misalignment.astype(mu.dtype)
+            # A vectorised misalignment (e.g. (2, 3, 2)) broadcasts against
+            # the beam's own batch dims (ref ``tests/test_vectorized.py:307``).
+            batch = jnp.broadcast_shapes(
+                mu.shape[:-1], misalignment.shape[:-1]
+            )
+            mu = jnp.broadcast_to(mu, (*batch, mu.shape[-1]))
             mu = mu.at[..., 0].add(-misalignment[..., 0])
             mu = mu.at[..., 2].add(-misalignment[..., 1])
             return ParameterBeam(
@@ -198,6 +204,12 @@ class Screen(ZeroLengthMixin, Element):
         elif isinstance(incoming, ParticleBeam):
             particles = incoming.particles
             misalignment = self.misalignment.astype(particles.dtype)
+            batch = jnp.broadcast_shapes(
+                particles.shape[:-2], misalignment.shape[:-1]
+            )
+            particles = jnp.broadcast_to(
+                particles, (*batch, *particles.shape[-2:])
+            )
             particles = particles.at[..., 0].add(-misalignment[..., 0, None])
             particles = particles.at[..., 2].add(-misalignment[..., 1, None])
             return ParticleBeam(
