@@ -29,7 +29,6 @@ from cheetah_tpu.utils.statistics import (
     match_distribution_moments,
     unbiased_weighted_covariance,
     unbiased_weighted_covariance_matrix,
-    unbiased_weighted_std,
 )
 
 
@@ -982,53 +981,86 @@ class ParticleBeam(Beam):
             self.survival_probabilities, axis=-1
         )
 
+    def _component_moments(self) -> tuple[Array, Array]:
+        """Weighted mean and unbiased variance of ALL phase-space components
+        in one pass over the particle array, shapes ``(..., 7)``.
+
+        The reduction over particles runs BEFORE any component is sliced
+        out. Under jit this is the difference between the beam-size readout
+        fusing into the epilogue of the transport matmul that produced
+        ``particles`` and that matmul's ``(..., N, 7)`` output making a full
+        HBM round trip: slicing a component first forces the materialisation
+        (1.15 GB at 4096x10k, measured 2.15 ms); reducing first measures
+        0.43 ms on the same workload (PERF_NOTES.md "anatomy").
+
+        The single pass requires the raw-moment identity
+        ``Var = E[x^2] - mu^2`` (the numerically-stabler centered form needs
+        a second pass, which re-materialises: measured 3.1 ms). For beams
+        with ``|mu| >> sigma`` this costs relative precision
+        ``~eps * (mu/sigma)^2`` — negligible for physical beams in f32 and
+        exact headroom in f64; the variance is clamped at 0.
+        """
+        weights = self.survival_probabilities
+        total = jnp.sum(weights, axis=-1)
+        s1 = jnp.sum(self.particles * weights[..., None], axis=-2)
+        s2 = jnp.sum(
+            jnp.square(self.particles) * weights[..., None], axis=-2
+        )
+        mean = s1 / total[..., None]
+        correction = total - jnp.sum(jnp.square(weights), axis=-1) / total
+        variance = (
+            jnp.maximum(s2 - total[..., None] * jnp.square(mean), 0.0)
+            / correction[..., None]
+        )
+        return mean, variance
+
     @property
     def mu_x(self) -> Array:
-        return self._weighted_mean(self.x)
+        return self._component_moments()[0][..., 0]
 
     @property
     def sigma_x(self) -> Array:
-        return unbiased_weighted_std(self.x, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 0])
 
     @property
     def mu_px(self) -> Array:
-        return self._weighted_mean(self.px)
+        return self._component_moments()[0][..., 1]
 
     @property
     def sigma_px(self) -> Array:
-        return unbiased_weighted_std(self.px, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 1])
 
     @property
     def mu_y(self) -> Array:
-        return self._weighted_mean(self.y)
+        return self._component_moments()[0][..., 2]
 
     @property
     def sigma_y(self) -> Array:
-        return unbiased_weighted_std(self.y, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 2])
 
     @property
     def mu_py(self) -> Array:
-        return self._weighted_mean(self.py)
+        return self._component_moments()[0][..., 3]
 
     @property
     def sigma_py(self) -> Array:
-        return unbiased_weighted_std(self.py, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 3])
 
     @property
     def mu_tau(self) -> Array:
-        return self._weighted_mean(self.tau)
+        return self._component_moments()[0][..., 4]
 
     @property
     def sigma_tau(self) -> Array:
-        return unbiased_weighted_std(self.tau, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 4])
 
     @property
     def mu_p(self) -> Array:
-        return self._weighted_mean(self.p)
+        return self._component_moments()[0][..., 5]
 
     @property
     def sigma_p(self) -> Array:
-        return unbiased_weighted_std(self.p, self.survival_probabilities)
+        return jnp.sqrt(self._component_moments()[1][..., 5])
 
     def _weighted_cov(self, a: Array, b: Array) -> Array:
         return unbiased_weighted_covariance(a, b, self.survival_probabilities)
