@@ -102,6 +102,32 @@ def cloud_in_cell_charge_deposition(
             )
         return grid.reshape(*vector_shape, *histogram_shape)
 
+    if num_hist_dims == 2 and batch == 1:
+        # Large single-instance 2D grid (full-resolution screens): beams
+        # cover a tiny fraction of the grid, so deposit into a bounding-box
+        # window with the MXU tensor-product kernel and place it with one
+        # dynamic_update_slice (runtime fallback to the scatter path when
+        # the beam spans more than the window).
+        grid = _deposit_tiled_2d(positions, charges, histogram_shape, extent)
+        return grid.reshape(*vector_shape, *histogram_shape)
+
+    grid = _deposit_scatter(positions, charges, histogram_shape, extent)
+    return grid.reshape(*vector_shape, *histogram_shape)
+
+
+def _deposit_scatter(
+    positions: Array,
+    charges: Array,
+    histogram_shape: list[int],
+    extent: Array,
+) -> Array:
+    """CIC deposit as one batched ``segment_sum`` scatter — the general path
+    for grids too large to privatise in VMEM. ``positions`` ``(B, N, d)``,
+    ``charges`` ``(B, N)``, ``extent`` ``(B, d, 2)`` -> ``(B, *shape)``."""
+    num_hist_dims = positions.shape[-1]
+    batch = positions.shape[0]
+    num_cells = math.prod(histogram_shape)
+
     # Per-dimension bin-space decomposition (ref ``cloud_in_cell.py:408-428``).
     in_extent = jnp.ones(charges.shape, dtype=bool)
     int_components = []
@@ -148,7 +174,78 @@ def cloud_in_cell_charge_deposition(
     flat_grid = jax.ops.segment_sum(
         weights, segment_ids, num_segments=batch * num_cells
     )
-    return flat_grid.reshape(*vector_shape, *histogram_shape)
+    return flat_grid.reshape(batch, *histogram_shape)
+
+
+#: Window size (bins per axis) for the bounding-box tiled 2D deposit.
+#: 512 covers a +-9-sigma beam footprint on the ARES screen with the window
+#: deposit measured at histogram speed (1.03 ms at 100k particles, vs
+#: 1.92 ms for a 1024 window and 4.0 ms for the full-grid scatter).
+TILE_BINS_2D = 512
+
+
+def _deposit_tiled_2d(
+    positions: Array,
+    charges: Array,
+    histogram_shape: list[int],
+    extent: Array,
+) -> Array:
+    """Bounding-box tiled CIC deposit for large 2D grids (single instance).
+
+    A beam typically covers a tiny fraction of a full-resolution screen (the
+    reference's cost model, ref ``screen.py:25-29``), so the deposit runs on
+    a ``TILE_BINS_2D``-bins window snapped to the particles' bin bounding
+    box using the MXU tensor-product kernel, and the window is placed into
+    the zero-initialised full grid with one ``dynamic_update_slice``. A
+    ``lax.cond`` falls back to the full scatter deposit when the beam spans
+    more than the window.
+
+    Bit-equivalent placement semantics: the window is flush with any grid
+    border its bounding box touches, so the scatter path's border clamping
+    is reproduced exactly (corner indices only clamp where window and grid
+    borders coincide), and charges outside the FULL extent are masked before
+    depositing, exactly as the scatter path masks them.
+    """
+    nbx, nby = histogram_shape
+    tile_x, tile_y = min(TILE_BINS_2D, nbx), min(TILE_BINS_2D, nby)
+    dtype = positions.dtype
+
+    left = extent[:, None, :, 0]
+    right = extent[:, None, :, 1]
+    bins = jnp.asarray(histogram_shape, dtype)
+    widths = (right - left) / bins  # (1, 1, 2)
+    in_extent = jnp.all((positions >= left) & (positions <= right), axis=-1)
+    masked_charges = charges * in_extent
+
+    # Bin bounding box over in-extent particles only (clip first so
+    # off-screen particles cannot produce out-of-range indices).
+    bin_space = (jnp.clip(positions, left, right) - left) / widths - 0.5
+    i0 = jnp.floor(bin_space).astype(jnp.int32)  # (1, N, 2), in [-1, nb-1]
+    big = jnp.int32(1 << 30)
+    lo = jnp.min(jnp.where(in_extent[..., None], i0, big), axis=-2)[0]  # (2,)
+    hi = jnp.max(jnp.where(in_extent[..., None], i0, -big), axis=-2)[0]
+
+    tiles = jnp.asarray([tile_x, tile_y], jnp.int32)
+    grid_bins = jnp.asarray([nbx, nby], jnp.int32)
+    offset = jnp.clip(lo, 0, grid_bins - tiles)  # (2,)
+    # Corner indices span [lo, hi + 1]: they fit the window (with matching
+    # border clamps, see above) iff the span is at most the window size.
+    fits = jnp.all(hi + 2 - lo <= tiles)
+
+    def deposit_window(_):
+        tile_left = extent[0, :, 0] + offset.astype(dtype) * widths[0, 0]
+        tile_right = tile_left + tiles.astype(dtype) * widths[0, 0]
+        tile_extent = jnp.stack([tile_left, tile_right], axis=-1)[None]
+        window = _deposit_tensor_product(
+            positions, masked_charges, [tile_x, tile_y], tile_extent
+        )[0]
+        full = jnp.zeros((nbx, nby), dtype)
+        return jax.lax.dynamic_update_slice(full, window, (offset[0], offset[1]))
+
+    def deposit_full(_):
+        return _deposit_scatter(positions, charges, histogram_shape, extent)[0]
+
+    return jax.lax.cond(fits, deposit_window, deposit_full, None)[None]
 
 
 def _deposit_tensor_product(

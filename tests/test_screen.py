@@ -261,3 +261,113 @@ def test_reading_dtype_follows_beam(dtype):
     )
     screen.track(beam)
     assert screen.reading.dtype == dtype
+
+
+# ---------------------------------------------------------------------------
+# Bounding-box tiled CIC deposit (large 2D grids, ref ``screen.py:25-29``
+# cost model): window placement must be bit-equivalent to the full scatter.
+# ---------------------------------------------------------------------------
+
+
+def _tiled_vs_scatter(positions, charges, shape, extent, label):
+    from cheetah_tpu.ops.cloud_in_cell import (
+        _deposit_scatter,
+        cloud_in_cell_charge_deposition,
+    )
+
+    tiled = cloud_in_cell_charge_deposition(
+        positions, shape, extent=extent, charges=charges
+    )
+    scatter = _deposit_scatter(
+        positions[None], charges[None], list(shape), extent[None]
+    )[0]
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(scatter), rtol=1e-12, atol=1e-20,
+        err_msg=label,
+    )
+    return tiled
+
+
+def test_tiled_cic_deposit_matches_scatter():
+    f64 = jnp.float64
+    key = jax.random.PRNGKey(0)
+    n = 20_000
+    shape = (2448, 2040)
+    extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
+    charges = jax.random.uniform(jax.random.PRNGKey(1), (n,), f64) * 1e-12
+
+    compact = jax.random.normal(key, (n, 2), f64) * jnp.asarray(
+        [1e-4, 8e-5], f64
+    ) + jnp.asarray([3e-4, -2e-4], f64)
+    _tiled_vs_scatter(compact, charges, shape, extent, "compact center")
+
+    # Flush with the left/bottom grid border: clamping must match.
+    border = jax.random.normal(key, (n, 2), f64) * 5e-5 + jnp.asarray(
+        [-0.0039, -0.00295], f64
+    )
+    _tiled_vs_scatter(border, charges, shape, extent, "flush border")
+
+    # Off-screen stragglers are charge-masked and must not widen the window.
+    stragglers = compact.at[:500].add(jnp.asarray([0.02, 0.0], f64))
+    _tiled_vs_scatter(stragglers, charges, shape, extent, "stragglers")
+
+    # Clipped exactly at the right/top edge (right-edge-inclusive semantics).
+    edge = jnp.clip(
+        jax.random.normal(key, (n, 2), f64) * 1e-4
+        + jnp.asarray([0.004, 0.003], f64),
+        extent[:, 0],
+        extent[:, 1],
+    )
+    _tiled_vs_scatter(edge, charges, shape, extent, "right/top edge")
+
+
+def test_tiled_cic_deposit_wide_beam_falls_back():
+    """A beam wider than the window takes the runtime fallback branch and
+    still matches the scatter result exactly."""
+    f64 = jnp.float64
+    n = 20_000
+    shape = (2448, 2040)
+    extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
+    charges = jnp.full((n,), 1e-12, f64)
+    wide = jax.random.uniform(
+        jax.random.PRNGKey(2), (n, 2), f64
+    ) * jnp.asarray([0.007, 0.005], f64) + jnp.asarray([-0.0035, -0.0025], f64)
+    image = _tiled_vs_scatter(wide, charges, shape, extent, "wide beam")
+    # The deposit spans far more than one window in both axes, proving the
+    # fallback really deposited outside any single window.
+    from cheetah_tpu.ops.cloud_in_cell import TILE_BINS_2D
+
+    rows = np.flatnonzero(np.asarray(image).sum(axis=1) > 0)
+    cols = np.flatnonzero(np.asarray(image).sum(axis=0) > 0)
+    assert rows[-1] - rows[0] > TILE_BINS_2D
+    assert cols[-1] - cols[0] > TILE_BINS_2D
+
+
+def test_tiled_cic_deposit_gradients_match_scatter():
+    from cheetah_tpu.ops.cloud_in_cell import (
+        _deposit_scatter,
+        cloud_in_cell_charge_deposition,
+    )
+
+    f64 = jnp.float64
+    n = 3_000
+    shape = (2448, 2040)
+    extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
+    charges = jnp.full((n,), 1e-12, f64)
+    positions = jax.random.normal(jax.random.PRNGKey(3), (n, 2), f64) * 1e-4
+
+    def loss_tiled(p):
+        image = cloud_in_cell_charge_deposition(
+            p, shape, extent=extent, charges=charges
+        )
+        return jnp.sum(image * image)
+
+    def loss_scatter(p):
+        image = _deposit_scatter(p[None], charges[None], list(shape), extent[None])
+        return jnp.sum(image * image)
+
+    grad_tiled = jax.grad(loss_tiled)(positions)
+    grad_scatter = jax.grad(loss_scatter)(positions)
+    np.testing.assert_allclose(
+        np.asarray(grad_tiled), np.asarray(grad_scatter), rtol=1e-10, atol=1e-26
+    )
