@@ -265,3 +265,26 @@ def test_species_tracking_scales_with_rigidity(key):
         outgoing = corrector.track(beam)
         assert outgoing.species.name == name
         assert bool(jnp.all(jnp.isfinite(outgoing.particles)))
+
+
+def test_statistics_offset_beam_precision(key):
+    """The one-pass (reduce-first) component moments stay accurate for beams
+    with |mu| >> sigma — the worst case of the raw-moment identity the
+    single HBM pass requires (see ParticleBeam._component_moments)."""
+    sigma = 2e-5
+    beam = ParticleBeam.from_parameters(
+        num_particles=10_000,
+        mu_x=jnp.array(2e-2, jnp.float64),  # mu/sigma = 1e3
+        sigma_x=jnp.array(sigma, jnp.float64),
+        energy=jnp.array(1.2e8, jnp.float64),
+        key=key,
+    )
+    ref_beam = ref_particle_beam(beam)
+    np.testing.assert_allclose(
+        float(beam.sigma_x),
+        ref_beam.sigma_x.detach().numpy(),
+        rtol=1e-7,
+    )
+    np.testing.assert_allclose(
+        float(beam.mu_x), ref_beam.mu_x.detach().numpy(), rtol=1e-12
+    )
