@@ -24,8 +24,8 @@ END = "<!-- BENCH_TABLE_END -->"
 
 ROWS = [
     # (key, label, notes)
-    ("env_step_4096x10k", "RL env step: 4096 instances x 10k particles x 13 elements (f32)", "headline; HBM-bound"),
-    ("env_step_4096x10k_bf16", "RL env step, bfloat16", "2x HBM traffic reduction"),
+    ("env_step_4096x10k", "RL env step: 4096 instances x 10k particles x 13 elements (f32)", "headline; reduce-first readout fuses into the transport epilogue"),
+    ("env_step_4096x10k_bf16", "RL env step, bfloat16", "readout-fused; no longer HBM-bound, so bf16 no longer buys 2x"),
     ("env_moments_4096x10k", "RL env step via track_moments (exact moments fast path)", "same sigma readout, no particle materialisation"),
     ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "bracket fusion: adjacent linear runs folded into the T-tensor, one (N, 49) quadratic apply"),
     ("env_second_order_moments_4096x10k", "RL env step, second_order via track_moments (Gaussian closure)", "moments through the fused bracket, no particle array"),
@@ -74,7 +74,17 @@ def render(details: dict) -> str:
             extra.append(notes)
         pct = details.get(f"{key}_hbm_pct")
         if pct is not None:
-            extra.append(f"{pct}% of HBM roofline")
+            if pct > 100:
+                # The denominator is the hypothetical full materialisation of
+                # the (instances, N, 7) transport output; beating it means
+                # the readout fused into the transport epilogue and that
+                # array never made an HBM round trip.
+                extra.append(
+                    f"{round(pct / 100, 2)}x FASTER than the full-"
+                    "materialisation HBM bound (readout fused on-chip)"
+                )
+            else:
+                extra.append(f"{pct}% of HBM roofline")
         vpu = details.get(f"{key}_vpu_pct")
         if vpu is not None:
             extra.append(f"{vpu}% of the measured VPU transcendental peak")
