@@ -102,12 +102,14 @@ def cloud_in_cell_charge_deposition(
             )
         return grid.reshape(*vector_shape, *histogram_shape)
 
-    if num_hist_dims == 2 and batch == 1:
+    if num_hist_dims == 2 and batch == 1 and jax.default_backend() == "tpu":
         # Large single-instance 2D grid (full-resolution screens): beams
         # cover a tiny fraction of the grid, so deposit into a bounding-box
         # window with the MXU tensor-product kernel and place it with one
         # dynamic_update_slice (runtime fallback to the scatter path when
-        # the beam spans more than the window).
+        # the beam spans more than the window). TPU-only: the window matmul
+        # trades O(N * window_cells) MXU MACs (0.26 ms) for the serialised
+        # scatter; on CPU those MACs are real work and the scatter wins.
         grid = _deposit_tiled_2d(positions, charges, histogram_shape, extent)
         return grid.reshape(*vector_shape, *histogram_shape)
 

@@ -270,15 +270,21 @@ def test_reading_dtype_follows_beam(dtype):
 
 
 def _tiled_vs_scatter(positions, charges, shape, extent, label):
-    from cheetah_tpu.ops.cloud_in_cell import (
-        _deposit_scatter,
-        cloud_in_cell_charge_deposition,
-    )
+    # _deposit_tiled_2d is dispatched only on the TPU backend (on CPU the
+    # window matmul loses to the scatter), so the parity tests call it
+    # directly; a smaller window keeps the CPU matmul cheap while still
+    # exercising placement, flush borders and the fallback cond.
+    import cheetah_tpu.ops.cloud_in_cell as cic_mod
 
-    tiled = cloud_in_cell_charge_deposition(
-        positions, shape, extent=extent, charges=charges
-    )
-    scatter = _deposit_scatter(
+    original_window = cic_mod.TILE_BINS_2D
+    cic_mod.TILE_BINS_2D = 256
+    try:
+        tiled = cic_mod._deposit_tiled_2d(
+            positions[None], charges[None], list(shape), extent[None]
+        )[0]
+    finally:
+        cic_mod.TILE_BINS_2D = original_window
+    scatter = cic_mod._deposit_scatter(
         positions[None], charges[None], list(shape), extent[None]
     )[0]
     np.testing.assert_allclose(
@@ -291,7 +297,7 @@ def _tiled_vs_scatter(positions, charges, shape, extent, label):
 def test_tiled_cic_deposit_matches_scatter():
     f64 = jnp.float64
     key = jax.random.PRNGKey(0)
-    n = 20_000
+    n = 5_000
     shape = (2448, 2040)
     extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
     charges = jax.random.uniform(jax.random.PRNGKey(1), (n,), f64) * 1e-12
@@ -325,7 +331,7 @@ def test_tiled_cic_deposit_wide_beam_falls_back():
     """A beam wider than the window takes the runtime fallback branch and
     still matches the scatter result exactly."""
     f64 = jnp.float64
-    n = 20_000
+    n = 5_000
     shape = (2448, 2040)
     extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
     charges = jnp.full((n,), 1e-12, f64)
@@ -333,33 +339,28 @@ def test_tiled_cic_deposit_wide_beam_falls_back():
         jax.random.PRNGKey(2), (n, 2), f64
     ) * jnp.asarray([0.007, 0.005], f64) + jnp.asarray([-0.0035, -0.0025], f64)
     image = _tiled_vs_scatter(wide, charges, shape, extent, "wide beam")
-    # The deposit spans far more than one window in both axes, proving the
-    # fallback really deposited outside any single window.
-    from cheetah_tpu.ops.cloud_in_cell import TILE_BINS_2D
-
+    # The deposit spans far more than one (test-sized, 256-bin) window in
+    # both axes, proving the fallback really deposited outside any window.
     rows = np.flatnonzero(np.asarray(image).sum(axis=1) > 0)
     cols = np.flatnonzero(np.asarray(image).sum(axis=0) > 0)
-    assert rows[-1] - rows[0] > TILE_BINS_2D
-    assert cols[-1] - cols[0] > TILE_BINS_2D
+    assert rows[-1] - rows[0] > 256
+    assert cols[-1] - cols[0] > 256
 
 
 def test_tiled_cic_deposit_gradients_match_scatter():
-    from cheetah_tpu.ops.cloud_in_cell import (
-        _deposit_scatter,
-        cloud_in_cell_charge_deposition,
-    )
+    from cheetah_tpu.ops.cloud_in_cell import _deposit_scatter, _deposit_tiled_2d
 
     f64 = jnp.float64
-    n = 3_000
+    n = 1_000
     shape = (2448, 2040)
     extent = jnp.asarray([[-0.004, 0.004], [-0.003, 0.003]], f64)
     charges = jnp.full((n,), 1e-12, f64)
     positions = jax.random.normal(jax.random.PRNGKey(3), (n, 2), f64) * 1e-4
 
     def loss_tiled(p):
-        image = cloud_in_cell_charge_deposition(
-            p, shape, extent=extent, charges=charges
-        )
+        image = _deposit_tiled_2d(
+            p[None], charges[None], list(shape), extent[None]
+        )[0]
         return jnp.sum(image * image)
 
     def loss_scatter(p):
