@@ -195,10 +195,14 @@ def test_jit_tracking(key):
     jitted = step(segment, beam)
     np.testing.assert_allclose(jitted, eager, rtol=1e-12)
 
-    # Changing array parameters must NOT retrigger compilation.
+    # Changing array parameters must NOT retrigger compilation. Assert on
+    # the cache-size DELTA around the second call: the absolute size can be
+    # 0 under full-suite memory pressure (the global executable cache
+    # evicts), which is eviction, not a retrace.
+    size_before = step._cache_size()
     segment.q1.k1 = jnp.array(2.0, jnp.float64)
     step(segment, beam)
-    assert step._cache_size() == 1
+    assert step._cache_size() <= max(size_before, 1)
 
 
 def test_gradient_through_tracking(key):
