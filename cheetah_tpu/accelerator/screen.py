@@ -328,6 +328,15 @@ class Screen(ZeroLengthMixin, Element):
                 ).reshape(*batch_shape, nbx, nby)
                 return jnp.swapaxes(image, -1, -2)
             elif self.method == "kde":
+                nx, ny = (
+                    int(self.effective_resolution[0]),
+                    int(self.effective_resolution[1]),
+                )
+                # Megapixel grids: evaluate the kernels only on a bounding-box
+                # window (beam + 10-bandwidth margin) — the dense KDE matmul
+                # shrinks by the grid/window area ratio (runtime fallback for
+                # wide beams; the screen's bins are uniform by construction).
+                window = 512 if nx * ny > 4 * 512 * 512 else None
                 image = kde_histogram_2d(
                     x1=x,
                     x2=y,
@@ -335,6 +344,7 @@ class Screen(ZeroLengthMixin, Element):
                     bins2=self.pixel_bin_centers[1],
                     bandwidth=self.kde_bandwidth,
                     weights=weights,
+                    window=window,
                 )
                 return jnp.swapaxes(image, -1, -2)
             else:  # cloud-in-cell

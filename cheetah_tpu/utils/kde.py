@@ -65,6 +65,7 @@ def kde_histogram_2d(
     weights: Array | None = None,
     epsilon: float = 1e-10,
     chunk_size: int = 4096,
+    window: int | None = None,
 ) -> Array:
     """Differentiable 2D histogram via KDE (ref ``kde.py:155-204``).
 
@@ -73,9 +74,32 @@ def kde_histogram_2d(
     ~1 GB for 100k particles on a megapixel screen if materialised at once)
     never exceed ``O(chunk_size x num_bins)`` of live memory.
 
+    ``window`` (opt-in) evaluates the kernels only on a ``window``-bins
+    bounding box around the samples and places the result with one
+    ``dynamic_update_slice`` — the dense ``O(N x num_bins1 x num_bins2)``
+    matmul shrinks by the grid/window area ratio on megapixel grids. The
+    window includes a 10-bandwidth margin (truncating kernel tails below
+    ``exp(-50) ~ 2e-22`` of peak, far under float32 resolution); a runtime
+    ``lax.cond`` falls back to the full evaluation when the samples plus
+    margin span more than the window. Requires uniformly spaced bins and
+    unbatched samples; ignored otherwise.
+
     :return: Joint pdf of shape ``(..., num_bins1, num_bins2)``.
     """
     import jax
+
+    if (
+        window is not None
+        and x1.ndim == 1
+        and window < bins1.shape[0]
+        and window < bins2.shape[0]
+        and _bins_uniform_if_concrete(bins1)
+        and _bins_uniform_if_concrete(bins2)
+    ):
+        return _kde_histogram_2d_windowed(
+            x1, x2, bins1, bins2, bandwidth, weights,
+            epsilon, chunk_size, window,
+        )
 
     num_particles = x1.shape[-1]
     if num_particles <= chunk_size:
@@ -109,3 +133,66 @@ def kde_histogram_2d(
 
     normalization = jnp.sum(joint, axis=(-2, -1))[..., None, None] + epsilon
     return joint / normalization
+
+
+def _bins_uniform_if_concrete(bins: Array) -> bool:
+    """True when the bins are uniformly spaced, or traced (the windowed
+    caller — the Screen — builds them with linspace by construction; a
+    traced non-uniform grid is the caller's contract violation)."""
+    import jax
+    import numpy as np
+
+    if isinstance(bins, jax.core.Tracer):
+        return True
+    if bins.shape[0] < 2:
+        return False
+    steps = np.diff(np.asarray(bins))
+    return bool(np.allclose(steps, steps[0], rtol=1e-9, atol=0.0))
+
+
+def _kde_histogram_2d_windowed(
+    x1, x2, bins1, bins2, bandwidth, weights,
+    epsilon, chunk_size, window,
+):
+    """Bounding-box windowed 2D KDE (see :func:`kde_histogram_2d`)."""
+    import jax
+
+    nb1, nb2 = bins1.shape[0], bins2.shape[0]
+    dtype = x1.dtype
+    step1 = bins1[1] - bins1[0]
+    step2 = bins2[1] - bins2[0]
+    # Sample bounding box in bin space, clipped to the grid (off-grid
+    # samples only reach edge bins, which the clip keeps in the window).
+    margin1 = jnp.ceil(10.0 * bandwidth / step1).astype(jnp.int32)
+    margin2 = jnp.ceil(10.0 * bandwidth / step2).astype(jnp.int32)
+
+    def axis_window(x, bins, num_bins, step, margin, tile):
+        s = jnp.clip((x - bins[0]) / step, 0.0, num_bins - 1.0)
+        lo = jnp.floor(jnp.min(s)).astype(jnp.int32) - margin
+        hi = jnp.ceil(jnp.max(s)).astype(jnp.int32) + margin
+        offset = jnp.clip(lo, 0, num_bins - tile)
+        fits = hi - offset <= tile - 1
+        return offset, fits
+
+    offset1, fits1 = axis_window(x1, bins1, nb1, step1, margin1, window)
+    offset2, fits2 = axis_window(x2, bins2, nb2, step2, margin2, window)
+
+    def windowed(_):
+        wbins1 = bins1[0] + (offset1 + jnp.arange(window, dtype=jnp.int32)) * step1
+        wbins2 = bins2[0] + (offset2 + jnp.arange(window, dtype=jnp.int32)) * step2
+        joint = kde_histogram_2d(
+            x1, x2, wbins1, wbins2, bandwidth, weights,
+            epsilon=epsilon, chunk_size=chunk_size, window=None,
+        )
+        full = jnp.zeros((nb1, nb2), dtype)
+        return jax.lax.dynamic_update_slice(
+            full, joint.astype(dtype), (offset1, offset2)
+        )
+
+    def fallback(_):
+        return kde_histogram_2d(
+            x1, x2, bins1, bins2, bandwidth, weights,
+            epsilon=epsilon, chunk_size=chunk_size, window=None,
+        )
+
+    return jax.lax.cond(fits1 & fits2, windowed, fallback, None)
