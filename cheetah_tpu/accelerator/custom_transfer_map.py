@@ -232,6 +232,18 @@ class CustomTransferMap(Element):
         )
 
         energy = jnp.asarray(incoming_beam.energy)
+        if not elements:
+            # Identity-element semantics for the empty merge, as the
+            # pre-batched implementation had.
+            tm = jnp.broadcast_to(
+                jnp.eye(7, dtype=energy.dtype), (*energy.shape, 7, 7)
+            )
+            return cls(
+                tm,
+                length=jnp.zeros((), energy.dtype),
+                name="combined_",
+                sanitize_name=False,
+            )
         species = incoming_beam.species
         maps = _run_transfer_maps(elements, energy, species)
         tm = _fold_transfer_maps(maps)

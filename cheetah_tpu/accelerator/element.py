@@ -43,6 +43,8 @@ def sum_element_lengths(lengths: list) -> Array:
     import jax
     import numpy as np
 
+    if not lengths:
+        return jnp.zeros(())
     lengths = [
         value if isinstance(value, jax.core.Tracer) else jnp.asarray(value)
         for value in lengths

@@ -156,7 +156,16 @@ def _particle_group_nodes(h5):
     if "%T" in base_path:
         prefix = base_path.split("%T")[0].strip("/")
         container = h5[prefix] if prefix else h5
-        for key in sorted(container.keys(), key=str):
+
+        def iteration_order(key: str):
+            # Numeric iteration order ('2' before '10'), lexicographic
+            # fallback for non-numeric names.
+            try:
+                return (0, int(key), key)
+            except ValueError:
+                return (1, 0, key)
+
+        for key in sorted(container.keys(), key=iteration_order):
             bases.append(container[key])
     else:
         stripped = base_path.strip("/")

@@ -1001,17 +1001,34 @@ class ParticleBeam(Beam):
         exact headroom in f64; the variance is clamped at 0.
         """
         weights = self.survival_probabilities
+        particles = self.particles
+        # Eager memoization by array identity: reading the usual dozen
+        # statistics costs ONE pass instead of one per property. The setters
+        # replace `particles`/`survival_probabilities` wholesale, so an
+        # identity mismatch is exactly "the beam changed". Tracers are never
+        # cached (no leaks onto live objects); under jit XLA CSEs the
+        # recomputation anyway.
+        cached = getattr(self, "_moments_cache", None)
+        if (
+            cached is not None
+            and cached[0] is particles
+            and cached[1] is weights
+        ):
+            return cached[2], cached[3]
+
         total = jnp.sum(weights, axis=-1)
-        s1 = jnp.sum(self.particles * weights[..., None], axis=-2)
-        s2 = jnp.sum(
-            jnp.square(self.particles) * weights[..., None], axis=-2
-        )
+        s1 = jnp.sum(particles * weights[..., None], axis=-2)
+        s2 = jnp.sum(jnp.square(particles) * weights[..., None], axis=-2)
         mean = s1 / total[..., None]
         correction = total - jnp.sum(jnp.square(weights), axis=-1) / total
         variance = (
             jnp.maximum(s2 - total[..., None] * jnp.square(mean), 0.0)
             / correction[..., None]
         )
+        if not any(
+            isinstance(value, jax.core.Tracer) for value in (particles, weights)
+        ):
+            self._moments_cache = (particles, weights, mean, variance)
         return mean, variance
 
     @property

@@ -158,7 +158,6 @@ def _kde_histogram_2d_windowed(
     import jax
 
     nb1, nb2 = bins1.shape[0], bins2.shape[0]
-    dtype = x1.dtype
     step1 = bins1[1] - bins1[0]
     step2 = bins2[1] - bins2[0]
     # Sample bounding box in bin space, clipped to the grid (off-grid
@@ -169,7 +168,12 @@ def _kde_histogram_2d_windowed(
     def axis_window(x, bins, num_bins, step, margin, tile):
         s = jnp.clip((x - bins[0]) / step, 0.0, num_bins - 1.0)
         lo = jnp.floor(jnp.min(s)).astype(jnp.int32) - margin
-        hi = jnp.ceil(jnp.max(s)).astype(jnp.int32) + margin
+        # Clip the margin to the grid on BOTH sides: bins beyond the border
+        # don't exist, so a beam flush against the max edge must not be
+        # pushed into the fallback by phantom margin bins.
+        hi = jnp.minimum(
+            jnp.ceil(jnp.max(s)).astype(jnp.int32) + margin, num_bins - 1
+        )
         offset = jnp.clip(lo, 0, num_bins - tile)
         fits = hi - offset <= tile - 1
         return offset, fits
@@ -178,16 +182,16 @@ def _kde_histogram_2d_windowed(
     offset2, fits2 = axis_window(x2, bins2, nb2, step2, margin2, window)
 
     def windowed(_):
-        wbins1 = bins1[0] + (offset1 + jnp.arange(window, dtype=jnp.int32)) * step1
-        wbins2 = bins2[0] + (offset2 + jnp.arange(window, dtype=jnp.int32)) * step2
+        # Slice the actual bin centers (bit-identical to the full path's
+        # bins at the same indices, unlike recomputing bins[0] + k*step).
+        wbins1 = jax.lax.dynamic_slice(bins1, (offset1,), (window,))
+        wbins2 = jax.lax.dynamic_slice(bins2, (offset2,), (window,))
         joint = kde_histogram_2d(
             x1, x2, wbins1, wbins2, bandwidth, weights,
             epsilon=epsilon, chunk_size=chunk_size, window=None,
         )
-        full = jnp.zeros((nb1, nb2), dtype)
-        return jax.lax.dynamic_update_slice(
-            full, joint.astype(dtype), (offset1, offset2)
-        )
+        full = jnp.zeros((nb1, nb2), joint.dtype)
+        return jax.lax.dynamic_update_slice(full, joint, (offset1, offset2))
 
     def fallback(_):
         return kde_histogram_2d(

@@ -70,15 +70,18 @@ def cos_sinc_sqrt_pm(x: Array) -> tuple[Array, Array, Array, Array]:
 
     ``cosh``/``sinh`` are derived from ``expm1`` without cancellation:
     ``cosh(s) - 1 = em^2 / (2 (1 + em))`` and
-    ``sinh(s) = em (2 + em) / (2 (1 + em))`` with ``em = expm1(s)``.
+    ``sinh(s) = em (2 + em) / (2 (1 + em))`` with ``em = expm1(s)``,
+    factored through the bounded ratio ``em / (1 + em)`` so no intermediate
+    squares ``em`` — the finite range matches ``jnp.cosh``'s own overflow
+    threshold instead of halving it.
     """
     s = jnp.sqrt(jnp.abs(x))
     c = jnp.cos(s)
     sn = jnp.sin(s)
     em = jnp.expm1(s)
-    inv_2e = 0.5 / (1.0 + em)
-    ch = 1.0 + em * em * inv_2e
-    sh = em * (2.0 + em) * inv_2e
+    ratio = em / (1.0 + em)  # in [0, 1) for s >= 0
+    ch = 1.0 + 0.5 * em * ratio
+    sh = 0.5 * ratio * (2.0 + em)
     s_safe = _safe(s, s == 0)
     one = jnp.ones_like(s)
     sinc_trig = jnp.where(s == 0, one, sn / s_safe)

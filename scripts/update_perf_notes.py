@@ -34,7 +34,7 @@ ROWS = [
     ("track_100k_screen_histogram", "100k particles + screen, histogram 2448x2040", "bucketize + segment_sum"),
     ("track_100k_screen_cloud_in_cell", "100k particles + screen, cloud-in-cell 2448x2040", "differentiable"),
     ("track_100k_screen_kde_binning8", "100k particles + screen, KDE at binning 8 (306x255)", "differentiable"),
-    ("track_100k_screen_kde_binning1", "100k particles + screen, KDE at FULL resolution (2448x2040)", "the reference costs this at ~280x its histogram; differentiable"),
+    ("track_100k_screen_kde_binning1", "100k particles + screen, KDE at FULL resolution (2448x2040)", "bounding-box windowed kernels; the reference costs this at ~280x its histogram; differentiable"),
     ("grad_screen_centroid_10k", "value_and_grad of screen centroid w.r.t. k1, 10k particles (BASELINE config 2)", "CIC screen, differentiable"),
     ("nonlinear_chain_100k", "Cavity + dkd Dipole + Sextupole chain, 100k particles (BASELINE config 3)", ""),
     ("space_charge_100k_pallas", "Space-charge segment (2 kicks, 32^3), 100k — Pallas", ""),

@@ -288,3 +288,30 @@ def test_statistics_offset_beam_precision(key):
     np.testing.assert_allclose(
         float(beam.mu_x), ref_beam.mu_x.detach().numpy(), rtol=1e-12
     )
+
+
+def test_component_moments_eager_memoization(key):
+    """Reading many statistics eagerly costs one pass (identity-keyed cache),
+    and any setter invalidates it."""
+    beam = ParticleBeam.from_parameters(
+        num_particles=500, energy=jnp.array(1e8, jnp.float64), key=key
+    )
+    first = beam._component_moments()
+    assert beam._component_moments()[0] is first[0]  # cache hit
+
+    mu_before = float(beam.mu_x)
+    beam.x = beam.x + 1e-5  # setter replaces the particle array
+    assert beam._component_moments()[0] is not first[0]  # invalidated
+    np.testing.assert_allclose(float(beam.mu_x), mu_before + 1e-5, rtol=1e-9)
+
+    # Tracers are never cached on the live object.
+    def traced(b):
+        b._component_moments()
+        return b.sigma_x
+
+    jax.jit(traced)(beam)
+    cached = beam._moments_cache
+    assert not any(
+        isinstance(leaf, jax.core.Tracer)
+        for leaf in jax.tree_util.tree_leaves(cached)
+    )

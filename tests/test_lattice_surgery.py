@@ -224,3 +224,21 @@ def test_segment_length_batched_matches_sum():
     # The scalar length broadcasts into both vector entries, so its cotangent
     # accumulates over them.
     np.testing.assert_allclose(np.asarray(grad.elements[1].length), 2.0)
+
+
+def test_from_merging_empty_list_is_identity():
+    """The public classmethod keeps identity-element semantics for []."""
+    from cheetah_tpu.accelerator.custom_transfer_map import CustomTransferMap
+
+    beam = ct.ParticleBeam.from_parameters(
+        num_particles=10, energy=jnp.asarray(1e8, F64), dtype=F64
+    )
+    merged = CustomTransferMap.from_merging_elements([], incoming_beam=beam)
+    np.testing.assert_array_equal(
+        np.asarray(merged.predefined_transfer_map), np.eye(7)
+    )
+    np.testing.assert_allclose(float(merged.length), 0.0)
+    out = merged.track(beam)
+    np.testing.assert_array_equal(
+        np.asarray(out.particles), np.asarray(beam.particles)
+    )

@@ -266,3 +266,27 @@ def test_calculate_quadrupole_coefficients_both_matches_two_calls():
     g_two = jax.grad(lambda k: two_calls(k).sum())(k1)
     np.testing.assert_allclose(g_fused, g_two, rtol=1e-5, atol=1e-9)
     assert not np.any(np.isnan(jax.hessian(lambda k: fused(k).sum())(k1)))
+
+
+def test_cos_sinc_sqrt_pm_large_arguments_match_cosh_range():
+    """The fused form must stay finite over jnp.cosh's own range (deriving
+    cosh via expm1^2 halves it; the bounded-ratio factoring does not)."""
+    import numpy as np
+
+    from cheetah_tpu.utils.maths import cos_sinc_sqrt_pm
+
+    x32 = jnp.asarray(4000.0, jnp.float32)  # sqrt = 63.2; expm1^2 overflows
+    _, _, cm32, sm32 = cos_sinc_sqrt_pm(x32)
+    assert np.isfinite(float(cm32)) and np.isfinite(float(sm32))
+    np.testing.assert_allclose(
+        float(cm32), np.cosh(np.sqrt(4000.0)), rtol=1e-5
+    )
+
+    x64 = jnp.asarray(3.0e5, jnp.float64)
+    _, _, cm64, sm64 = cos_sinc_sqrt_pm(x64)
+    np.testing.assert_allclose(
+        float(cm64), np.cosh(np.sqrt(3.0e5)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(sm64), np.sinh(np.sqrt(3.0e5)) / np.sqrt(3.0e5), rtol=1e-12
+    )

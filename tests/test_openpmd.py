@@ -208,3 +208,28 @@ def test_openpmd_proton_species_round_trip(tmp_path):
         np.asarray(loaded.particles), np.asarray(beam.particles),
         rtol=1e-9, atol=1e-14,
     )
+
+
+def test_openpmd_iteration_order_is_numeric(beam, tmp_path):
+    """/data/%T/ iterations are ordered numerically: '2' loads before '10'."""
+    h5py = pytest.importorskip("h5py")
+    from cheetah_tpu.converters.openpmd import read_particle_group_h5
+
+    flat = tmp_path / "flat.h5"
+    beam.save_as_openpmd_h5(flat)
+    series = tmp_path / "series.h5"
+    with h5py.File(flat, "r") as src, h5py.File(series, "w") as dst:
+        dst.attrs["openPMD"] = np.bytes_("2.0.0")
+        dst.attrs["basePath"] = np.bytes_("/data/%T/")
+        dst.attrs["particlesPath"] = np.bytes_("particles/")
+        for iteration, scale in (("10", 2.0), ("2", 1.0)):
+            group = dst.create_group(f"data/{iteration}/particles")
+            for key in ("position", "momentum", "time", "weight", "particleStatus"):
+                src.copy(key, group)
+            group.attrs["speciesType"] = src.attrs["speciesType"]
+            # Make iteration 10 distinguishable.
+            group["position/x"][...] = group["position/x"][...] * scale
+
+    first = read_particle_group_h5(series)
+    flat_group = read_particle_group_h5(flat)
+    np.testing.assert_array_equal(first.x, flat_group.x)  # iteration 2

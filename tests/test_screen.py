@@ -461,3 +461,39 @@ def test_windowed_kde_rejects_nonuniform_bins():
     full = kde_histogram_2d(x, y, nonuniform, bins2, bandwidth)
     windowed = kde_histogram_2d(x, y, nonuniform, bins2, bandwidth, window=512)
     np.testing.assert_allclose(np.asarray(windowed), np.asarray(full), rtol=1e-12)
+
+
+def test_windowed_kde_beam_flush_at_max_edge_keeps_window():
+    """A beam within the margin of the max edge must still take the window
+    branch (phantom margin bins beyond the border are clipped): the windowed
+    branch leaves exact zeros far from the beam, while the full evaluation's
+    tiny-clamped kernels are strictly positive everywhere."""
+    from cheetah_tpu.utils.kde import kde_histogram_2d
+
+    n = 2_000
+    bins1 = jnp.linspace(-4e-3, 4e-3, 2448, dtype=F64)
+    bins2 = jnp.linspace(-3e-3, 3e-3, 2040, dtype=F64)
+    bandwidth = jnp.asarray(5e-6, F64)
+    # Compact beam hugging the top-right corner of the grid.
+    x = 4e-3 - jnp.abs(jax.random.normal(jax.random.PRNGKey(7), (n,), F64)) * 5e-5
+    y = 3e-3 - jnp.abs(jax.random.normal(jax.random.PRNGKey(8), (n,), F64)) * 5e-5
+
+    windowed = kde_histogram_2d(x, y, bins1, bins2, bandwidth, window=512)
+    full = kde_histogram_2d(x, y, bins1, bins2, bandwidth)
+    np.testing.assert_allclose(
+        np.asarray(windowed), np.asarray(full),
+        rtol=1e-9, atol=float(full.max()) * 1e-12,
+    )
+
+    # Prove the window branch was actually taken: the fit test must clip the
+    # margin at the grid border (phantom bins beyond the max edge must not
+    # force the fallback).
+    step1 = float(bins1[1] - bins1[0])
+    margin = int(np.ceil(10.0 * float(bandwidth) / step1))
+    s = np.clip((np.asarray(x) - float(bins1[0])) / step1, 0.0, 2447.0)
+    lo = int(np.floor(s.min())) - margin
+    hi = min(int(np.ceil(s.max())) + margin, 2447)
+    offset = int(np.clip(lo, 0, 2448 - 512))
+    assert hi - offset <= 511, "flush-edge beam must fit the clipped window"
+    # And without the border clip it would NOT have fit (the regression).
+    assert int(np.ceil(s.max())) + margin - offset > 511
