@@ -56,7 +56,11 @@ class Cavity(Element):
     Known model limitation (shared with the reference, verified numerically):
     at zero-crossing phase (``phase = +-90 deg``) the standing-wave ``r55``
     term ``tan(phi) (...) / dE`` blows up (``~1e18``) because ``cos(phi)`` is
-    only floating-point zero, producing non-finite tracking output. A
+    only floating-point zero, producing meaningless tracking output (the
+    reference goes non-finite there; this implementation's guarded
+    denominators keep the values finite but equally meaningless, and within
+    ~1e-3 deg of the crossing the near-singular ``1/dgamma^3`` longitudinal
+    terms amplify floating-point noise so the two implementations diverge). A
     :class:`PhysicsWarning` is emitted when an active standing-wave cavity is
     configured within 1e-3 deg of a zero crossing (when the values are
     concrete — traced values cannot be inspected). Operate cavities away from
