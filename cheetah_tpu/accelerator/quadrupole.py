@@ -149,11 +149,17 @@ class Quadrupole(Element):
             x_offset, y_offset, self.tilt, x, px, y, py
         )
 
-        rel_p = 1.0 + pz  # Particle's relative momentum (P/P0)
-        k1 = self.k1[..., None] / rel_p
-
-        (tx, dzx), (ty, dzy) = bmadx.calculate_quadrupole_coefficients_both(
-            k1, self.length, rel_p
+        # Chromatic factorisation: the focusing-function argument
+        # k1 L^2 / rel_p is rank-1 (instance x particle), so the map's
+        # per-particle transcendentals reduce to one sqrt — the rest is the
+        # design-momentum quartet at the instance shape plus a pure-FMA
+        # Taylor correction (exact to machine precision for
+        # sqrt(|k1|) L |1/sqrt(rel_p) - 1| <~ 1; see
+        # bmadx.calculate_quadrupole_coefficients_chromatic). On TPU this
+        # turns the vectorised dkd env step from transcendental-bound into
+        # FMA-bound (measured ~2x, PERF_NOTES.md).
+        (tx, dzx), (ty, dzy) = bmadx.calculate_quadrupole_coefficients_chromatic(
+            self.k1[..., None], self.length, pz
         )
         dz_low_energy = bmadx.low_energy_z_correction(pz, p0c, mc2, self.length)
 

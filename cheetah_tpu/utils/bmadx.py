@@ -16,7 +16,12 @@ import jax.numpy as jnp
 from jax import Array
 
 from cheetah_tpu.constants import speed_of_light
-from cheetah_tpu.utils.maths import cos_sinc_sqrt_pm, cos_sqrt, sinc_sqrt
+from cheetah_tpu.utils.maths import (
+    cos_sinc_sqrt_pm,
+    cos_sinc_sqrt_series_pm,
+    cos_sqrt,
+    sinc_sqrt,
+)
 
 
 def cheetah_to_bmad_z_pz(
@@ -215,6 +220,81 @@ def calculate_quadrupole_coefficients_both(
     length_ = jnp.asarray(length)[..., None]
     u = k1 * jnp.square(length_)  # arg of the x plane (strength -k1)
     cx, six, cy, siy = cos_sinc_sqrt_pm(u)
+    return (
+        _quad_plane(-k1, cx, six, length_, rel_p),
+        _quad_plane(k1, cy, siy, length_, rel_p),
+    )
+
+
+def calculate_quadrupole_coefficients_chromatic(
+    k1_design: Array, length: Array, pz: Array
+) -> tuple[
+    tuple[list[list[Array]], list[Array]], tuple[list[list[Array]], list[Array]]
+]:
+    """Both planes' quadrupole dkd coefficients with the chromatic
+    (momentum) dependence factored out of the transcendentals.
+
+    Numerically equal (to machine precision) to
+    :func:`calculate_quadrupole_coefficients_both` called with
+    ``k1 = k1_design / rel_p``, but the focusing-function argument
+    ``u / rel_p`` (``u = k1_design L^2``) is *rank-1* — an outer product of a
+    per-lattice-instance factor and a per-particle factor — so the addition
+    formulas split each evaluation exactly into
+
+    - the design-momentum quartet ``F(+-u), G(+-u)``
+      (:func:`~cheetah_tpu.utils.maths.cos_sinc_sqrt_pm` at the *instance*
+      shape — 4 transcendentals per lattice instance),
+    - one ``sqrt`` per *particle* (``eta = 1/sqrt(1+pz) - 1``, via the
+      cancellation-free :func:`sqrt_one`), and
+    - a pure-FMA Taylor polynomial
+      (:func:`~cheetah_tpu.utils.maths.cos_sinc_sqrt_series_pm`) at the
+      small argument ``t = u eta^2`` on the full instance x particle shape.
+
+    With ``F = cos_sqrt``, ``G = sinc_sqrt``, ``w = 1/rel_p = (1 + eta)^2``::
+
+        F(a w) = F(a) F(a eta^2) - a eta G(a) G(a eta^2)
+        G(a w) = (G(a) F(a eta^2) + F(a) eta G(a eta^2)) / (1 + eta)
+
+    (exact for both signs of ``a`` — the identities continue analytically
+    through the trigonometric/hyperbolic branches).
+
+    Zero per-(instance x particle) transcendentals remain: on TPU this turns
+    the dkd quadrupole from VPU-transcendental-bound into FMA-bound
+    (measured ~2x on the 4096x10k vectorised env step, PERF_NOTES.md).
+
+    Validity: machine-precision agreement requires ``|t| = |u| eta^2 <~ 1``,
+    i.e. ``sqrt(|k1|) L |eta| <~ 1`` — satisfied with orders of magnitude to
+    spare by physical beams (``|pz| ~ 1e-2`` gives ``|t| ~ 1e-4 |u|``); the
+    truncation error grows polynomially beyond. See
+    ``tests/test_maths.py``/``tests/test_compare_bmadx_dkd.py`` for sweeps.
+
+    :param k1_design: Design quadrupole strength (NOT divided by ``rel_p``),
+        broadcastable against the particle axis (e.g. shape ``(..., 1)``).
+    :param length: Step length.
+    :param pz: Bmad momentum deviation per particle; ``rel_p = 1 + pz``.
+    :return: Same structure as
+        :func:`calculate_quadrupole_coefficients_both`.
+    """
+    rel_p = 1.0 + pz
+    length_ = jnp.asarray(length)[..., None]
+    u = k1_design * jnp.square(length_)  # x-plane design arg (strength -k1)
+
+    fu, gu, fmu, gmu = cos_sinc_sqrt_pm(u)
+
+    s1 = sqrt_one(pz)  # sqrt(rel_p) - 1, exact relative precision
+    inv_1p_eta = 1.0 + s1  # 1/(1 + eta) = sqrt(rel_p)
+    eta = -s1 / inv_1p_eta  # 1/sqrt(rel_p) - 1, exact relative precision
+
+    t = u * jnp.square(eta)
+    ft, gt, fmt, gmt = cos_sinc_sqrt_series_pm(t)
+
+    u_eta = u * eta
+    cx = fu * ft - u_eta * (gu * gt)
+    six = (gu * ft + fu * (eta * gt)) * inv_1p_eta
+    cy = fmu * fmt + u_eta * (gmu * gmt)
+    siy = (gmu * fmt + fmu * (eta * gmt)) * inv_1p_eta
+
+    k1 = k1_design / rel_p
     return (
         _quad_plane(-k1, cx, six, length_, rel_p),
         _quad_plane(k1, cy, siy, length_, rel_p),

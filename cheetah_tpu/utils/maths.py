@@ -19,6 +19,8 @@ implemented here.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -109,6 +111,51 @@ def _cos_sinc_sqrt_pm_jvp(primals, tangents):
         dsp * dx,
         0.5 * sm * dx,
         dsm * dx,
+    )
+
+
+def cos_sinc_sqrt_series_pm(t: Array) -> tuple[Array, Array, Array, Array]:
+    r"""``(cos_sqrt(t), sinc_sqrt(t), cos_sqrt(-t), sinc_sqrt(-t))`` for
+    *small* ``|t|`` by truncated Taylor series — pure FMA chains, zero
+    transcendentals.
+
+    ``cos_sqrt`` and ``sinc_sqrt`` are entire functions of their argument,
+
+    .. math::
+        F(t) = \sum_k \frac{(-t)^k}{(2k)!}, \qquad
+        G(t) = \sum_k \frac{(-t)^k}{(2k+1)!},
+
+    so for bounded ``|t|`` a fixed-length Horner evaluation is exact to
+    machine precision: with the dtype-dependent term counts used here
+    (7 terms in float32, 11 in float64) the truncation error at ``|t| = 1``
+    is ``1/14! = 1.1e-11`` resp. ``1/22! = 8.9e-22`` — below the dtype
+    epsilon. Accuracy degrades polynomially beyond ``|t| ~ 1`` (callers
+    document their argument bound); the result stays finite for any ``t``.
+
+    This is the per-particle half of the chromatic factorisation used by
+    :func:`cheetah_tpu.utils.bmadx.calculate_quadrupole_coefficients_chromatic`:
+    it moves every per-particle transcendental of the quadrupole
+    drift-kick-drift map into this polynomial, which on TPU turns the map
+    from VPU-transcendental-bound into plain FMA throughput.
+    """
+    num_terms = 11 if t.dtype == jnp.float64 else 7
+    # hF(v) = sum_k v^k / (2k)!, hG(v) = sum_k v^k / (2k+1)!; then
+    # F(t) = hF(-t), G(t) = hG(-t), F(-t) = hF(t), G(-t) = hG(t).
+    coeff_f = [1.0 / math.factorial(2 * k) for k in range(num_terms)]
+    coeff_g = [1.0 / math.factorial(2 * k + 1) for k in range(num_terms)]
+
+    def horner(coeffs, v):
+        acc = jnp.full_like(v, coeffs[-1])
+        for c in reversed(coeffs[:-1]):
+            acc = acc * v + c
+        return acc
+
+    neg_t = -t
+    return (
+        horner(coeff_f, neg_t),
+        horner(coeff_g, neg_t),
+        horner(coeff_f, t),
+        horner(coeff_g, t),
     )
 
 

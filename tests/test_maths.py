@@ -290,3 +290,111 @@ def test_cos_sinc_sqrt_pm_large_arguments_match_cosh_range():
     np.testing.assert_allclose(
         float(sm64), np.sinh(np.sqrt(3.0e5)) / np.sqrt(3.0e5), rtol=1e-12
     )
+
+
+def test_cos_sinc_sqrt_series_pm_matches_exact():
+    """The Taylor form agrees with the exact quartet to machine precision
+    over its documented validity range |t| <= 1, in both dtypes, including
+    derivatives (it feeds the chromatic dkd factorisation)."""
+    from cheetah_tpu.utils.maths import cos_sinc_sqrt_pm, cos_sinc_sqrt_series_pm
+
+    t64 = jnp.concatenate(
+        [
+            jnp.linspace(-1.0, 1.0, 201, dtype=jnp.float64),
+            jnp.asarray([0.0, 1e-30, -1e-30, 1e-8, -1e-8], jnp.float64),
+        ]
+    )
+    exact = cos_sinc_sqrt_pm(t64)
+    series = cos_sinc_sqrt_series_pm(t64)
+    for e, s in zip(exact, series):
+        np.testing.assert_allclose(s, e, rtol=3e-15, atol=3e-15)
+
+    t32 = t64.astype(jnp.float32)
+    for e, s in zip(cos_sinc_sqrt_pm(t32), cos_sinc_sqrt_series_pm(t32)):
+        np.testing.assert_allclose(s, e, rtol=3e-7, atol=3e-7)
+
+    # Derivatives: AD of the polynomial equals the analytic derivative of
+    # the exact function (the series is term-by-term differentiable). Keep
+    # |t| > 1e-6: below that the EXACT quartet's guarded sinc derivative
+    # (cos_sqrt - sinc_sqrt) / (2t) cancels catastrophically while the
+    # polynomial's AD is exact — the series is the more accurate side there.
+    t_far = t64[jnp.abs(t64) > 1e-6]
+    for idx in range(4):
+        g_series = jax.vmap(jax.grad(lambda t: cos_sinc_sqrt_series_pm(t)[idx]))(
+            t_far
+        )
+        g_exact = jax.vmap(jax.grad(lambda t: cos_sinc_sqrt_pm(t)[idx]))(t_far)
+        np.testing.assert_allclose(g_series, g_exact, rtol=1e-9, atol=1e-13)
+    # At t = 0 the polynomial's AD hits the analytic limits exactly.
+    g0 = [
+        float(jax.grad(lambda t: cos_sinc_sqrt_series_pm(t)[idx])(jnp.asarray(0.0)))
+        for idx in range(4)
+    ]
+    np.testing.assert_allclose(g0, [-0.5, -1 / 6, 0.5, 1 / 6], rtol=1e-15)
+
+
+def test_calculate_quadrupole_coefficients_chromatic_matches_direct():
+    """The chromatic (rank-1 factored) quadrupole coefficients equal the
+    direct per-particle evaluation to machine precision across strengths and
+    momentum spreads. Tolerances are absolute against each coefficient's
+    natural scale: where cos crosses zero NO formulation achieves relative
+    accuracy (both have ~eps absolute error), so a pure-rtol comparison
+    would test the comparison, not the math."""
+    from cheetah_tpu.utils import bmadx
+
+    rng = np.random.default_rng(7)
+
+    def flatten(both):
+        (tx, dzx), (ty, dzy) = both
+        return jnp.stack(
+            [
+                tx[0][0], tx[0][1], tx[1][0], tx[1][1], *dzx,
+                ty[0][0], ty[0][1], ty[1][0], ty[1][1], *dzy,
+            ]
+        )
+
+    for dtype, tol in ((jnp.float64, 5e-13), (jnp.float32, 3e-4)):
+        for k1v, pzmax in [
+            (20.0, 0.01), (-20.0, 0.05), (3.0, 0.3), (-0.5, 0.3),
+            (0.0, 0.1), (120.0, 0.02), (1e-7, 0.1),
+        ]:
+            k1 = jnp.asarray([[k1v]], dtype)
+            length = jnp.asarray(0.35, dtype)
+            pz = jnp.asarray(rng.uniform(-pzmax, pzmax, size=(1, 500)), dtype)
+            rel_p = 1.0 + pz
+            direct = flatten(
+                bmadx.calculate_quadrupole_coefficients_both(
+                    k1 / rel_p, length, rel_p
+                )
+            )
+            chromatic = flatten(
+                bmadx.calculate_quadrupole_coefficients_chromatic(k1, length, pz)
+            )
+            scale = np.maximum(
+                np.max(np.abs(np.asarray(direct)), axis=-1, keepdims=True), 1.0
+            )
+            np.testing.assert_allclose(
+                np.asarray(chromatic) / scale,
+                np.asarray(direct) / scale,
+                rtol=0.0,
+                atol=tol,
+                err_msg=f"dtype={dtype} k1={k1v} pzmax={pzmax}",
+            )
+
+    # Gradients w.r.t. k1 agree too (the tuning workflow differentiates
+    # through the dkd map).
+    k1 = jnp.asarray([3.0, -3.0, 0.0], jnp.float64)[:, None]
+    pz = jnp.asarray(rng.uniform(-0.05, 0.05, size=(1, 64)), jnp.float64)
+    rel_p = 1.0 + pz
+    length = jnp.asarray(0.35, jnp.float64)
+    g_direct = jax.grad(
+        lambda k: flatten(
+            bmadx.calculate_quadrupole_coefficients_both(k / rel_p, length, rel_p)
+        ).sum()
+    )(k1)
+    g_chromatic = jax.grad(
+        lambda k: flatten(
+            bmadx.calculate_quadrupole_coefficients_chromatic(k, length, pz)
+        ).sum()
+    )(k1)
+    np.testing.assert_allclose(g_chromatic, g_direct, rtol=1e-9, atol=1e-10)
