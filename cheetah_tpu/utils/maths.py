@@ -114,10 +114,12 @@ def _cos_sinc_sqrt_pm_jvp(primals, tangents):
     )
 
 
-def cos_sinc_sqrt_series_pm(t: Array) -> tuple[Array, Array, Array, Array]:
-    r"""``(cos_sqrt(t), sinc_sqrt(t), cos_sqrt(-t), sinc_sqrt(-t))`` for
-    *small* ``|t|`` by truncated Taylor series — pure FMA chains, zero
-    transcendentals.
+def cos_sinc_sqrt_series_pm(
+    t: Array, doublings: int = 4
+) -> tuple[Array, Array, Array, Array]:
+    r"""``(cos_sqrt(t), sinc_sqrt(t), cos_sqrt(-t), sinc_sqrt(-t))`` by
+    truncated Taylor series plus double-angle reduction — pure FMA chains,
+    zero transcendentals.
 
     ``cos_sqrt`` and ``sinc_sqrt`` are entire functions of their argument,
 
@@ -125,12 +127,22 @@ def cos_sinc_sqrt_series_pm(t: Array) -> tuple[Array, Array, Array, Array]:
         F(t) = \sum_k \frac{(-t)^k}{(2k)!}, \qquad
         G(t) = \sum_k \frac{(-t)^k}{(2k+1)!},
 
-    so for bounded ``|t|`` a fixed-length Horner evaluation is exact to
-    machine precision: with the dtype-dependent term counts used here
-    (7 terms in float32, 11 in float64) the truncation error at ``|t| = 1``
-    is ``1/14! = 1.1e-11`` resp. ``1/22! = 8.9e-22`` — below the dtype
-    epsilon. Accuracy degrades polynomially beyond ``|t| ~ 1`` (callers
-    document their argument bound); the result stays finite for any ``t``.
+    so for bounded argument a fixed-length Horner evaluation is exact to
+    machine precision: with the dtype-dependent term counts used here the
+    series truncation error at reduced argument 1 is ``1/14!`` (float32)
+    resp. ``1/22!`` (float64) — below the dtype epsilon. The series is
+    evaluated at ``t / 4^doublings`` and walked back up with the
+    double-angle identities ``F(4s) = 2 F(s)^2 - 1`` and
+    ``G(4s) = G(s) F(s)`` (valid on BOTH the trigonometric and hyperbolic
+    branches), which extends the machine-precision validity range to
+    ``|t| <= 4^doublings`` (256 at the default) at ~6 extra FMAs per step.
+    Each of the two symmetric chain pairs shares its even/odd Horner parts:
+    ``hF(v) = E_F(v^2) + v O_F(v^2)`` serves ``+-t`` from one power set.
+
+    Beyond ``|t| = 4^doublings`` the truncation error grows polynomially
+    (callers document their argument bound); the result is garbage there
+    but stays finite until the leading Horner term itself overflows
+    (``|t| ~ 4^doublings * 10^5`` in float32).
 
     This is the per-particle half of the chromatic factorisation used by
     :func:`cheetah_tpu.utils.bmadx.calculate_quadrupole_coefficients_chromatic`:
@@ -139,10 +151,18 @@ def cos_sinc_sqrt_series_pm(t: Array) -> tuple[Array, Array, Array, Array]:
     from VPU-transcendental-bound into plain FMA throughput.
     """
     num_terms = 11 if t.dtype == jnp.float64 else 7
-    # hF(v) = sum_k v^k / (2k)!, hG(v) = sum_k v^k / (2k+1)!; then
-    # F(t) = hF(-t), G(t) = hG(-t), F(-t) = hF(t), G(-t) = hG(t).
-    coeff_f = [1.0 / math.factorial(2 * k) for k in range(num_terms)]
-    coeff_g = [1.0 / math.factorial(2 * k + 1) for k in range(num_terms)]
+    # Work with P = F - 1 (the versine) so the double-angle walk
+    # P_new = 2 P (P + 2) is a pure product — no cancellation, so relative
+    # precision is PRESERVED for small total phase (the physical case)
+    # instead of losing the worst-case factor 4^doublings in ulps that the
+    # naive F_new = 2 F^2 - 1 recurrence costs.
+    #   hF(v) - 1 = sum_{k>=1} v^k/(2k)!       = v (E_P(v^2) + v O_P(v^2))
+    #   hG(v)     = sum_{k>=0} v^k/(2k+1)!     = E_G(v^2) + v O_G(v^2)
+    # with F(t) = hF(-t), G(t) = hG(-t); the -t outputs flip the odd parts.
+    even_p = [1.0 / math.factorial(4 * j + 2) for j in range((num_terms + 1) // 2)]
+    odd_p = [1.0 / math.factorial(4 * j + 4) for j in range(num_terms // 2)]
+    even_g = [1.0 / math.factorial(4 * j + 1) for j in range((num_terms + 1) // 2)]
+    odd_g = [1.0 / math.factorial(4 * j + 3) for j in range(num_terms // 2)]
 
     def horner(coeffs, v):
         acc = jnp.full_like(v, coeffs[-1])
@@ -150,13 +170,18 @@ def cos_sinc_sqrt_series_pm(t: Array) -> tuple[Array, Array, Array, Array]:
             acc = acc * v + c
         return acc
 
-    neg_t = -t
-    return (
-        horner(coeff_f, neg_t),
-        horner(coeff_g, neg_t),
-        horner(coeff_f, t),
-        horner(coeff_g, t),
-    )
+    s = -t * (0.25**doublings)  # exact power-of-two scaling
+    w = jnp.square(s)
+    ep, op = horner(even_p, w), s * horner(odd_p, w)
+    eg, og = horner(even_g, w), s * horner(odd_g, w)
+    pt, gt = s * (ep + op), eg + og  # F-1, G at the reduced +t
+    pmt, gmt = -s * (ep - op), eg - og  # F-1, G at the reduced -t
+    for _ in range(doublings):
+        gt = gt * (1.0 + pt)
+        pt = 2.0 * pt * (2.0 + pt)
+        gmt = gmt * (1.0 + pmt)
+        pmt = 2.0 * pmt * (2.0 + pmt)
+    return 1.0 + pt, gt, 1.0 + pmt, gmt
 
 
 def _dsinc_sqrt(x: Array) -> Array:

@@ -29,7 +29,7 @@ ROWS = [
     ("env_moments_4096x10k", "RL env step via track_moments (exact moments fast path)", "same sigma readout, no particle materialisation"),
     ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "bracket fusion: adjacent linear runs folded into the T-tensor, one (N, 49) quadratic apply"),
     ("env_second_order_moments_4096x10k", "RL env step, second_order via track_moments (Gaussian closure)", "moments through the fused bracket, no particle array"),
-    ("env_dkd_4096x10k", "RL env step, tuned quad tracked drift_kick_drift", "chromatic factorisation: zero per-(instance x particle) transcendentals (was 11.4 ms)"),
+    ("env_dkd_4096x10k", "RL env step, tuned quad tracked drift_kick_drift", "chromatic factorisation: zero per-(instance x particle) transcendentals (was 10.8 ms in the previous full run)"),
     ("parameter_beam_4096_env_step", "ParameterBeam env step, 4096 instances", "moments-only transport"),
     ("track_100k_screen_histogram", "100k particles + screen, histogram 2448x2040", "bucketize + segment_sum"),
     ("track_100k_screen_cloud_in_cell", "100k particles + screen, cloud-in-cell 2448x2040", "differentiable"),
