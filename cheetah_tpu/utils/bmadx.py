@@ -262,10 +262,12 @@ def calculate_quadrupole_coefficients_chromatic(
     the dkd quadrupole from VPU-transcendental-bound into FMA-bound
     (measured ~2x on the 4096x10k vectorised env step, PERF_NOTES.md).
 
-    Validity: machine-precision agreement requires ``|t| = |u| eta^2 <~ 1``,
-    i.e. ``sqrt(|k1|) L |eta| <~ 1`` — satisfied with orders of magnitude to
-    spare by physical beams (``|pz| ~ 1e-2`` gives ``|t| ~ 1e-4 |u|``); the
-    truncation error grows polynomially beyond. See
+    Validity: machine-precision agreement requires
+    ``|t| = |u| eta^2 <= 256`` (the polynomial's double-angle reduction
+    range), i.e. ``sqrt(|k1|) L |eta| <= 16`` — e.g. ``pz = -0.97`` through
+    a ``k1 = 120 / m^2``, ``L = 0.35 m`` quad still agrees to 10 digits;
+    physical beams (``|pz| ~ 1e-2``) sit at ``|t| ~ 1e-4 |u|``, orders of
+    magnitude inside. The truncation error grows polynomially beyond. See
     ``tests/test_maths.py``/``tests/test_compare_bmadx_dkd.py`` for sweeps.
 
     :param k1_design: Design quadrupole strength (NOT divided by ``rel_p``),

@@ -1,10 +1,17 @@
 """One-off ablation: does an optimization_barrier before the dkd output stack
 stop XLA from recomputing the shared coefficient chain per component?
 
-dkd_anatomy.json shows the env dkd step costs 2.5x the transcendentals of the
-dkd quad alone (0.82e9 vs 0.33e9) — consistent with XLA duplicating the
-elementwise producer graph into each of the 7 stacked particle components.
-This measures the env step with barriers at three candidate points.
+HISTORICAL (round 4, pre-chromatic): dkd_anatomy.json then showed the env
+dkd step costing 2.5x the transcendentals of the dkd quad alone (0.82e9 vs
+0.33e9) — XLA duplicating the elementwise producer graph into each of the 7
+stacked particle components. The measurement below established that
+barriers do NOT fix it (deduplicating via materialisation costs more HBM
+than the recompute saves: ~11.4 ms either way), which motivated the
+chromatic factorisation (`bmadx.calculate_quadrupole_coefficients_chromatic`)
+that removed the per-(instance x particle) transcendentals algebraically
+instead. The committed dkd_barrier_ablation.json preserves the
+pre-chromatic numbers that justified that decision; re-running this script
+on current code measures the (now FMA-bound) formulation instead.
 
 Run: ``python scripts/dkd_barrier_ablation.py`` (TPU).
 """
