@@ -160,3 +160,42 @@ def test_dkd_quadrupole_gradient_matches_reference_autograd():
     np.testing.assert_allclose(float(grads[0]), k1_t.grad.item(), rtol=1e-9)
     np.testing.assert_allclose(float(grads[1]), length_t.grad.item(), rtol=1e-9)
     np.testing.assert_allclose(float(grads[2]), tilt_t.grad.item(), rtol=1e-9)
+
+
+def test_dkd_quadrupole_hessian_finite_and_matches_fd():
+    """Second-order AD through the drift-kick-drift quadrupole (chromatic
+    path: custom_jvp quartet + Taylor polynomial) is finite and matches a
+    finite difference of the gradient — the damped-Newton tuning workflow
+    (docs/tuning) differentiates twice."""
+    import jax
+
+    beam = ct.ParticleBeam.from_twiss(
+        num_particles=1_000,
+        beta_x=jnp.asarray(5.0, jnp.float64),
+        emittance_x=jnp.asarray(2e-9, jnp.float64),
+        beta_y=jnp.asarray(3.0, jnp.float64),
+        emittance_y=jnp.asarray(2e-9, jnp.float64),
+        energy=jnp.asarray(1.54e8, jnp.float64),
+        sigma_p=jnp.asarray(1e-3, jnp.float64),
+        key=jax.random.PRNGKey(5),
+        dtype=jnp.float64,
+    )
+
+    def loss(k1):
+        quad = ct.Quadrupole(
+            length=jnp.asarray(0.3, jnp.float64),
+            k1=k1,
+            tracking_method="drift_kick_drift",
+        )
+        return quad.track(beam).sigma_x
+
+    k1 = jnp.asarray(8.0, jnp.float64)
+    hess = jax.hessian(loss)(k1)
+    assert np.isfinite(float(hess))
+    eps = 1e-4
+    fd = (jax.grad(loss)(k1 + eps) - jax.grad(loss)(k1 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(hess), float(fd), rtol=1e-6)
+
+    # And at the k1 = 0 singular point of the quartet's guarded derivative.
+    hess0 = jax.hessian(loss)(jnp.asarray(0.0, jnp.float64))
+    assert np.isfinite(float(hess0))
