@@ -96,3 +96,61 @@ def test_random_lattice_matches_reference(seed):
         rtol=1e-6,
         atol=5e-8,
     )
+
+
+# ParameterBeam composition: linear-tracking elements only (second-order and
+# dkd are ParticleBeam-only in both implementations; Aperture is a
+# ParticleBeam-only effect; the zoo Sextupole defaults to second_order).
+_PARAM_COMPOSABLE = [
+    (class_name, spec)
+    for class_name, spec, parity in ELEMENT_CASES
+    if parity
+    and spec.get("tracking_method", "linear") == "linear"
+    and class_name
+    not in ("TransverseDeflectingCavity", "Aperture", "Sextupole", "SpaceChargeKick")
+]
+
+
+def _make_parameter_beam():
+    return ct.ParameterBeam.from_twiss(
+        beta_x=jnp.asarray(6.0, f64),
+        alpha_x=jnp.asarray(-0.8, f64),
+        emittance_x=jnp.asarray(3e-9, f64),
+        beta_y=jnp.asarray(4.0, f64),
+        alpha_y=jnp.asarray(0.6, f64),
+        emittance_y=jnp.asarray(2e-9, f64),
+        energy=jnp.asarray(1.2e8, f64),
+        total_charge=jnp.asarray(1e-10, f64),
+        sigma_tau=jnp.asarray(1e-4, f64),
+        sigma_p=jnp.asarray(2e-3, f64),
+        dtype=f64,
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_lattice_parameter_beam_matches_reference(seed):
+    from reference_oracle import ref_parameter_beam
+
+    rng = np.random.default_rng(2000 + seed)
+    picks = rng.choice(len(_PARAM_COMPOSABLE), size=rng.integers(4, 9))
+
+    jax_elements, ref_elements = [], []
+    for i, pick in enumerate(picks):
+        class_name, spec = _PARAM_COMPOSABLE[int(pick)]
+        spec = {**spec, "name": f"pel_{i}_{class_name}"}
+        jax_elements.append(build_jax_element(class_name, spec))
+        ref_elements.append(build_ref_element(class_name, spec))
+
+    beam = _make_parameter_beam()
+    jax_out = ct.Segment(jax_elements).track(beam)
+    ref_out = ref.Segment(ref_elements).track(ref_parameter_beam(beam))
+
+    np.testing.assert_allclose(
+        np.asarray(jax_out.mu), to_numpy(ref_out.mu), rtol=1e-9, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax_out.cov), to_numpy(ref_out.cov), rtol=1e-8, atol=1e-18
+    )
+    np.testing.assert_allclose(
+        float(jax_out.energy), float(ref_out.energy), rtol=1e-12
+    )
