@@ -154,3 +154,59 @@ def test_random_lattice_parameter_beam_matches_reference(seed):
     np.testing.assert_allclose(
         float(jax_out.energy), float(ref_out.energy), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_batched_lattice_matches_reference(seed):
+    """Vectorisation parity fuzz: random lattices where random scalar
+    parameters are promoted to a (3,)-batch of perturbed values must
+    broadcast identically in both implementations (the reference
+    broadcasts leading dims natively; here it falls out of the pytree
+    design). Complements the structured sweep in test_vectorized.py."""
+    rng = np.random.default_rng(3000 + seed)
+    picks = rng.choice(len(_COMPOSABLE), size=rng.integers(3, 7))
+
+    jax_elements, ref_elements = [], []
+    batched_any = False
+    for i, pick in enumerate(picks):
+        class_name, spec = _COMPOSABLE[int(pick)]
+        spec = {**spec, "name": f"bel_{i}_{class_name}"}
+        float_keys = [k for k, v in spec.items() if isinstance(v, float)]
+        if float_keys and rng.random() < 0.6:
+            key_to_batch = str(rng.choice(float_keys))
+            base = spec[key_to_batch]
+            spec[key_to_batch] = [
+                base * (1.0 + delta) for delta in rng.uniform(-0.3, 0.3, size=3)
+            ]
+            batched_any = True
+        jax_elements.append(build_jax_element(class_name, spec))
+        ref_elements.append(build_ref_element(class_name, spec))
+    if not batched_any:  # guarantee the test exercises broadcasting
+        jax_elements.insert(0, ct.Quadrupole(
+            jnp.asarray(0.2, f64), k1=jnp.asarray([1.0, -2.0, 3.0], f64),
+            name="bel_forced",
+        ))
+        from reference_oracle import torch
+        ref_elements.insert(0, ref.Quadrupole(
+            torch.tensor(0.2, dtype=torch.float64),
+            k1=torch.tensor([1.0, -2.0, 3.0], dtype=torch.float64),
+            name="bel_forced",
+        ))
+
+    beam = _make_beam()
+    jax_out = ct.Segment(jax_elements).track(beam)
+    ref_out = ref.Segment(ref_elements).track(ref_particle_beam(beam))
+
+    assert jax_out.particles.shape == tuple(ref_out.particles.shape)
+    np.testing.assert_allclose(
+        np.asarray(jax_out.particles),
+        to_numpy(ref_out.particles),
+        rtol=1e-9,
+        atol=1e-11,
+        err_msg=f"seed {seed}: {[e.name for e in jax_elements]}",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.broadcast_to(jax_out.energy, ref_out.energy.shape)),
+        to_numpy(ref_out.energy),
+        rtol=1e-12,
+    )
