@@ -317,20 +317,27 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
             ..., None, :
         ]
 
-        if nx * ny * nt <= 65536:
+        from cheetah_tpu.ops.cloud_in_cell import (
+            TENSOR_PRODUCT_MAX_CELLS,
+            cloud_in_cell_gather_3d,
+        )
+        from cheetah_tpu.ops.pallas_cic import (
+            differentiable_pallas_gather,
+            pallas_deposit_available,
+        )
+
+        use_pallas = (
+            pallas_deposit_available(self.grid_shape)
+            and normalized.dtype == jnp.float32
+        )
+        if use_pallas or nx * ny * nt <= TENSOR_PRODUCT_MAX_CELLS:
             # Scatter/gather-free interpolation via two-hot MXU contractions
             # (same trick as the deposit; much faster than 8-corner gathers).
-            from cheetah_tpu.ops.cloud_in_cell import cloud_in_cell_gather_3d
-            from cheetah_tpu.ops.pallas_cic import (
-                differentiable_pallas_gather,
-                pallas_deposit_available,
-            )
-
+            # The Pallas kernel's VMEM bound admits larger grids (64^3) than
+            # the XLA two-hot, whose HBM materialisation caps it at
+            # TENSOR_PRODUCT_MAX_CELLS.
             grids = jnp.stack([grad_x, grad_y, grad_tau], axis=1)  # (B, 3, ...)
-            if (
-                pallas_deposit_available(self.grid_shape)
-                and normalized.dtype == jnp.float32
-            ):
+            if use_pallas:
                 # TPU fast path: two-hot tiles built in VMEM (PERF_NOTES.md).
                 values = differentiable_pallas_gather()(grids, normalized)
             else:

@@ -84,22 +84,27 @@ def cloud_in_cell_charge_deposition(
 
     num_cells = math.prod(histogram_shape)
 
-    if num_cells <= TENSOR_PRODUCT_MAX_CELLS:
-        from cheetah_tpu.ops.pallas_cic import (
-            differentiable_pallas_deposit,
-            pallas_deposit_available,
-        )
+    from cheetah_tpu.ops.pallas_cic import (
+        differentiable_pallas_deposit,
+        pallas_deposit_available,
+    )
 
-        if pallas_deposit_available(histogram_shape) and positions.dtype == jnp.float32:
-            # TPU fast path: two-hot tiles built in VMEM, MXU contraction
-            # (6.4x over the XLA path at 100k particles — PERF_NOTES.md).
-            grid = differentiable_pallas_deposit(tuple(histogram_shape))(
-                positions, charges.astype(jnp.float32), extent
-            )
-        else:
-            grid = _deposit_tensor_product(
-                positions, charges, histogram_shape, extent
-            )
+    if pallas_deposit_available(histogram_shape) and positions.dtype == jnp.float32:
+        # TPU fast path: two-hot tiles built in VMEM, MXU contraction
+        # (6.4x over the XLA path at 100k particles — PERF_NOTES.md). The
+        # kernel's VMEM bound admits larger grids (up to 64^3) than the XLA
+        # two-hot below, whose (chunk, nx*ny) HBM materialisation caps it at
+        # TENSOR_PRODUCT_MAX_CELLS — beyond that the XLA paths fall to the
+        # scatter deposit, 36x slower than this kernel at 64^3/1M (measured).
+        grid = differentiable_pallas_deposit(tuple(histogram_shape))(
+            positions, charges.astype(jnp.float32), extent
+        )
+        return grid.reshape(*vector_shape, *histogram_shape)
+
+    if num_cells <= TENSOR_PRODUCT_MAX_CELLS:
+        grid = _deposit_tensor_product(
+            positions, charges, histogram_shape, extent
+        )
         return grid.reshape(*vector_shape, *histogram_shape)
 
     if num_hist_dims == 2 and batch == 1 and jax.default_backend() == "tpu":

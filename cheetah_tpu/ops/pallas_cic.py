@@ -197,6 +197,20 @@ def gather_multi_3d_pallas(
     num_lead = nx * ny
     chunk = _chunk_for(num_lead * _num_leads(orders))
 
+    # Trace the kernel with x64 semantics OFF regardless of the global
+    # config: everything inside is explicitly f32/int32, but under
+    # jax_enable_x64 the BlockSpec index maps trace their literals as i64,
+    # which Mosaic refuses to legalize ("failed to legalize operation
+    # 'func.return'"). The surrounding physics keeps whatever precision the
+    # caller configured.
+    with jax.enable_x64(False):
+        return _gather_multi_x32(grids, normalized, orders, interpret, chunk)
+
+
+def _gather_multi_x32(grids, normalized, orders, interpret, chunk):
+    batch, num_components, nx, ny, nt = grids.shape
+    num_lead = nx * ny
+
     num_particles = normalized.shape[1]
     num_chunks = -(-num_particles // chunk)
     pad = num_chunks * chunk - num_particles
@@ -257,6 +271,16 @@ def deposit_multi_3d_pallas(
     nx, ny, nt = histogram_shape
     num_lead = nx * ny
     chunk = _chunk_for(num_lead * _num_leads(orders))
+
+    # See gather_multi_3d_pallas: trace with x64 OFF so the index maps stay
+    # i32 (Mosaic cannot legalize the i64 literals jax_enable_x64 produces).
+    with jax.enable_x64(False):
+        return _deposit_multi_x32(normalized, rows, histogram_shape, orders, interpret, chunk)
+
+
+def _deposit_multi_x32(normalized, rows, histogram_shape, orders, interpret, chunk):
+    nx, ny, nt = histogram_shape
+    num_lead = nx * ny
 
     batch, num_orders, num_components, num_particles = rows.shape
     num_chunks = -(-num_particles // chunk)
@@ -410,11 +434,26 @@ def deposit_rows_3d_pallas(
 
 
 def pallas_deposit_available(histogram_shape) -> bool:
-    """The kernel handles 3D grids whose (nx*ny, nt) accumulator fits VMEM."""
+    """The kernel handles 3D grids whose working set fits VMEM.
+
+    Bounds (f32, worst case = the first-order gradient set ``_GRADS`` with
+    3 distinct (x, y) leads and up to 4 components):
+
+    - ``nx * ny <= 4096``: the lead tiles are ``(nx*ny, chunk)`` with
+      ``chunk`` floored at 128, so 3 leads cost ``3 * nx*ny * 128 * 4``
+      bytes — 6.3 MB at 4096.
+    - ``nx * ny * nt <= 262144``: the revisited accumulator / grid operand
+      is ``(C*nt, nx*ny)`` — 4 MB at 262144 cells with C = 4.
+
+    Together ~12 MB of the ~16 MB VMEM at the 64^3 corner (the practical
+    space-charge ceiling; the reference's examples use 32^3). Beyond this,
+    ``SpaceChargeKick`` falls back to the 8-corner gather / scatter deposit.
+    """
     return (
         ENABLED
         and len(histogram_shape) == 3
-        and math.prod(histogram_shape) <= 65536
+        and histogram_shape[0] * histogram_shape[1] <= 4096
+        and math.prod(histogram_shape) <= 262144
         and jax.default_backend() == "tpu"
     )
 
