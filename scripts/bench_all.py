@@ -431,6 +431,23 @@ def main() -> None:
             )
     pallas_cic.ENABLED = True
 
+    # Fine 64^3 grid (beyond the XLA two-hot's cell cap, inside the raised
+    # Pallas VMEM bound): one kick, 1M particles — the scatter fallback this
+    # replaced measured 219.7 ms.
+    if wants("space_charge_kick_1M_64c") and on_tpu:
+        kick_64 = ct.SpaceChargeKick(
+            jnp.asarray(0.5, f32), grid_shape=(64, 64, 64)
+        )
+        record(
+            "space_charge_kick_1M_64c_pallas",
+            timeit_slope(
+                jax.jit(lambda k, b: k.track(b).particles),
+                kick_64,
+                make_beam(1_000_000),
+                iters=5,
+            ),
+        )
+
     # ------------------------------------------------------------------
     # CIC deposit microbenchmark, Pallas vs XLA
     # ------------------------------------------------------------------

@@ -45,6 +45,7 @@ ROWS = [
     ("space_charge_1M_xla", "Space-charge segment, 1M — XLA two-hot", ""),
     ("space_charge_grad_1M_pallas", "Space-charge segment, 1M, value_and_grad — Pallas", ""),
     ("space_charge_grad_1M_xla", "Space-charge segment, 1M, value_and_grad — XLA", ""),
+    ("space_charge_kick_1M_64c_pallas", "Space-charge kick, 64^3 grid, 1M — Pallas", "fine grid past the XLA two-hot cell cap; the scatter fallback this replaced measured 219.7 ms (22x)"),
     ("cic_deposit_100k_32c_pallas", "CIC deposit microbench, 100k -> 32^3 — Pallas kernel", ""),
     ("cic_deposit_100k_32c_xla", "CIC deposit microbench, 100k -> 32^3 — XLA two-hot", ""),
     ("cic_deposit_1M_32c_pallas", "CIC deposit microbench, 1M -> 32^3 — Pallas kernel", ""),
