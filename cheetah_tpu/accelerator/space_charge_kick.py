@@ -396,6 +396,33 @@ class SpaceChargeKick(ZeroLengthMixin, Element):
             incoming, ParticleBeam
         ), "SpaceChargeKick tracking is currently only supported for `ParticleBeam`."
 
+        # Sub-f32 beams (bf16/f16 throughput dtypes) compute the collective
+        # effect in f32 and cast the result back: the FFT Poisson solve has
+        # no sub-f32 kernels (XLA raises "RFFT input must be float32 or
+        # float64"), and the density deposit would be meaningless at 8
+        # mantissa bits anyway.
+        in_dtype = incoming.particles.dtype
+        if in_dtype in (jnp.bfloat16, jnp.float16):
+            upcast = ParticleBeam(
+                particles=incoming.particles.astype(jnp.float32),
+                energy=incoming.energy.astype(jnp.float32),
+                particle_charges=incoming.particle_charges.astype(jnp.float32),
+                survival_probabilities=incoming.survival_probabilities.astype(
+                    jnp.float32
+                ),
+                s=incoming.s,
+                species=incoming.species,
+            )
+            tracked = self.track(upcast)
+            return ParticleBeam(
+                particles=tracked.particles.astype(in_dtype),
+                energy=tracked.energy.astype(incoming.energy.dtype),
+                particle_charges=incoming.particle_charges,
+                survival_probabilities=incoming.survival_probabilities,
+                s=tracked.s,
+                species=incoming.species,
+            )
+
         # Flatten all vector dims to one batch dim (reversed at the end).
         vector_shape = jnp.broadcast_shapes(
             incoming.particles.shape[:-2],

@@ -847,3 +847,43 @@ def test_pallas_kernels_work_under_enable_x64():
     np.testing.assert_allclose(
         np.asarray(actual), np.asarray(expected, np.float32), atol=1e-5
     )
+
+
+def test_bf16_beam_space_charge_upcasts_instead_of_crashing():
+    """Sub-f32 throughput beams must not crash in the FFT solve (XLA has no
+    bf16 RFFT): the kick computes in f32 and casts back. Result dtype
+    follows the beam; values match the f32 computation within the bf16
+    representation class."""
+    f32 = jnp.float32
+    beam = ct.ParticleBeam.from_twiss(
+        num_particles=5_000,
+        beta_x=jnp.asarray(5.0, f32),
+        emittance_x=jnp.asarray(2e-9, f32),
+        beta_y=jnp.asarray(3.0, f32),
+        emittance_y=jnp.asarray(2e-9, f32),
+        energy=jnp.asarray(1.54e8, f32),
+        total_charge=jnp.asarray(1e-10, f32),
+        key=jax.random.PRNGKey(2),
+        dtype=f32,
+    )
+    bf_beam = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == f32
+        else x,
+        beam,
+    )
+    kick_bf = ct.SpaceChargeKick(jnp.asarray(0.5, jnp.bfloat16), grid_shape=(8, 8, 8))
+    out = jax.jit(lambda k, b: k.track(b))(kick_bf, bf_beam)
+    assert out.particles.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.particles.astype(f32)).all())
+
+    kick_f32 = ct.SpaceChargeKick(jnp.asarray(0.5, f32), grid_shape=(8, 8, 8))
+    ref = jax.jit(lambda k, b: k.track(b))(kick_f32, beam)
+    # bf16 inputs perturb the traced grid extents, so agreement is at the
+    # bf16 class, not exact.
+    np.testing.assert_allclose(
+        np.asarray(out.particles, np.float32),
+        np.asarray(ref.particles),
+        atol=2e-3,
+        rtol=0.05,
+    )
