@@ -143,6 +143,62 @@ class Element:
     #: (static) field.
     tracking_method: str = "linear"
 
+    #: Names of the attributes whose concrete-zero state makes the Bmad-X
+    #: entry/exit frame transforms (``offset_particle_set``/``unset``) the
+    #: identity. Subclasses with a drift-kick-drift path set this (plain
+    #: class attribute, NOT a dataclass field) and declare an
+    #: ``_aligned_hint`` static field; :meth:`__setattr__` then keeps the
+    #: hint in sync on assignment.
+    _offset_fields: tuple = ()
+
+    def _compute_aligned_hint(self) -> bool:
+        """True when every offset attribute exists and is a CONCRETE zero.
+        Evaluated eagerly on assignment (construction and user mutation), so
+        the result can ride the pytree treedef into traces where the values
+        themselves are tracers (segment passed as a jit argument). The check
+        runs on the host via numpy: ``jnp`` ops on concrete constants become
+        tracers under an ambient trace (e.g. constructing an element inside
+        ``shard_map``), which must not leak into this static decision."""
+        import jax
+        import numpy as np
+
+        for field_name in type(self)._offset_fields:
+            value = getattr(self, field_name, None)
+            if value is None or isinstance(value, jax.core.Tracer):
+                return False
+            if not bool(np.all(np.asarray(value) == 0)):
+                return False
+        return True
+
+    def _offsets_statically_zero(self) -> bool:
+        """Static (trace-time) decision: may the entry/exit frame transforms
+        be dropped from the compiled graph? (They duplicate the whole
+        elementwise chain through XLA's fusion splits — measured 1.27 ms of
+        a 6.15 ms dkd env step, PERF_NOTES.md.)
+
+        - Concrete values: decided from the values directly (no staleness).
+        - Values under differentiation (``jax.grad``/``jvp`` w.r.t. the
+          element): never dropped, so offset gradients at zero stay exact.
+        - Values merely traced (``jit``/``vmap`` argument): the
+          construction-time ``_aligned_hint`` decides. Caveat: surgery that
+          swaps the arrays WITHOUT attribute assignment (raw
+          ``tree_map``/``tree_unflatten``) keeps the stale hint — reassign
+          the attribute (or reconstruct the element) after such surgery.
+        """
+        import jax
+        import numpy as np
+
+        from cheetah_tpu.utils.pytree import is_differentiation_tracer
+
+        values = [getattr(self, name) for name in type(self)._offset_fields]
+        if not any(isinstance(value, jax.core.Tracer) for value in values):
+            # numpy, not jnp: concrete constants inside an ambient trace
+            # (shard_map, vmap closures) must stay a host-side decision.
+            return all(bool(np.all(np.asarray(value) == 0)) for value in values)
+        if any(is_differentiation_tracer(value) for value in values):
+            return False
+        return getattr(self, "_aligned_hint", False)
+
     def _init_element(
         self,
         name: str | None,
@@ -198,6 +254,8 @@ class Element:
             )
             value = self.supported_tracking_methods[0]
         object.__setattr__(self, key, value)
+        if key in type(self)._offset_fields:
+            object.__setattr__(self, "_aligned_hint", self._compute_aligned_hint())
 
     # ------------------------------------------------------------------
     # Transfer maps

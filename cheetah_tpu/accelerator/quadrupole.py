@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -41,8 +42,10 @@ class Quadrupole(Element):
     num_steps: int = static_field(1)
     tracking_method: str = static_field("linear")
     metadata: dict = static_field(None)
+    _aligned_hint: bool = static_field(False)
 
     supported_tracking_methods = ["linear", "second_order", "drift_kick_drift"]
+    _offset_fields = ("misalignment", "tilt")
 
     def __init__(
         self,
@@ -142,12 +145,22 @@ class Quadrupole(Element):
             incoming.tau, incoming.p, incoming.energy, mc2
         )
 
+        # Zero-offset fast path: with concrete-zero misalignment/tilt (the
+        # common case, decided statically — see
+        # Element._offsets_statically_zero) the entry/exit frame transforms
+        # are the identity; dropping them removes the fusion-split
+        # duplication XLA pays for them (1.27 ms of the 6.15 ms 4096x10k dkd
+        # env step, PERF_NOTES.md). Ref behaviour: the reference always
+        # computes them (``quadrupole.py:168-251``); identical results
+        # because x - 0 == x exactly.
+        apply_offsets = not self._offsets_statically_zero()
         x_offset = self.misalignment[..., 0]
         y_offset = self.misalignment[..., 1]
 
-        x, px, y, py = bmadx.offset_particle_set(
-            x_offset, y_offset, self.tilt, x, px, y, py
-        )
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_set(
+                x_offset, y_offset, self.tilt, x, px, y, py
+            )
 
         # Chromatic factorisation: the focusing-function argument
         # k1 L^2 / rel_p is rank-1 (instance x particle), so the map's
@@ -176,9 +189,10 @@ class Quadrupole(Element):
         x, px = tx[0][0] * x + tx[0][1] * px, tx[1][0] * x + tx[1][1] * px
         y, py = ty[0][0] * y + ty[0][1] * py, ty[1][0] * y + ty[1][1] * py
 
-        x, px, y, py = bmadx.offset_particle_unset(
-            x_offset, y_offset, self.tilt, x, px, y, py
-        )
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_unset(
+                x_offset, y_offset, self.tilt, x, px, y, py
+            )
 
         tau, delta, ref_energy = bmadx.bmad_to_cheetah_z_pz(z, pz, p0c, mc2)
         x, px, y, py, tau, delta = jnp.broadcast_arrays(x, px, y, py, tau, delta)

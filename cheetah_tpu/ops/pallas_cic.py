@@ -119,17 +119,16 @@ def _axis_factors(pos_ref, nx, ny, nt, chunk, orders):
 # ---------------------------------------------------------------------------
 
 
-def _gather_multi_kernel(pos_ref, g_ref, *out_refs, nx, ny, nt, chunk, orders):
-    """Gather one output per derivative order: ``g_ref (C*nt, nx*ny)`` ->
-    each ``out (C, chunk)``. Orders sharing an (x, y) lead share its MXU
-    matmul (the t-axis order only changes the elementwise contraction), so
-    the first-order set ``{value, d/dx, d/dy, d/dt}`` costs 3 MXU passes for
-    4 outputs."""
+def _gather_multi_values(pos_ref, g_ref, *, nx, ny, nt, chunk, orders):
+    """Shared gather computation (also used by the x-tiled kernels in
+    :mod:`cheetah_tpu.ops.pallas_cic_tiled`, with ``nx`` = window rows):
+    one ``(C, chunk)`` array per order."""
     fx, fy, ft = _axis_factors(pos_ref, nx, ny, nt, chunk, orders)
     num_components = g_ref.shape[0] // nt
 
     lead_m: dict[tuple[int, int], Array] = {}
-    for out_ref, (ox, oy, ot) in zip(out_refs, orders):
+    values = []
+    for ox, oy, ot in orders:
         if (ox, oy) not in lead_m:
             lead = (fx[ox][:, None, :] * fy[oy][None, :, :]).reshape(
                 nx * ny, chunk
@@ -141,20 +140,28 @@ def _gather_multi_kernel(pos_ref, g_ref, *out_refs, nx, ny, nt, chunk, orders):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(num_components, nt, chunk)
-        out_ref[:] = jnp.sum(lead_m[(ox, oy)] * ft[ot][None, :, :], axis=1)
+        values.append(jnp.sum(lead_m[(ox, oy)] * ft[ot][None, :, :], axis=1))
+    return values
 
 
-def _deposit_multi_kernel(pos_ref, rows_ref, out_ref, *, nx, ny, nt, chunk, orders):
-    """Deposit the SUM over derivative orders: per-order row blocks
-    ``rows_ref (O*C, chunk)`` -> accumulated ``out (C*nt, nx*ny)``. Orders
-    sharing an (x, y) lead are summed in the ``(C*nt, chunk)`` operand before
-    the shared matmul — the exact transpose of :func:`_gather_multi_kernel`'s
-    sharing."""
+def _gather_multi_kernel(pos_ref, g_ref, *out_refs, nx, ny, nt, chunk, orders):
+    """Gather one output per derivative order: ``g_ref (C*nt, nx*ny)`` ->
+    each ``out (C, chunk)``. Orders sharing an (x, y) lead share its MXU
+    matmul (the t-axis order only changes the elementwise contraction), so
+    the first-order set ``{value, d/dx, d/dy, d/dt}`` costs 3 MXU passes for
+    4 outputs."""
+    values = _gather_multi_values(
+        pos_ref, g_ref, nx=nx, ny=ny, nt=nt, chunk=chunk, orders=orders
+    )
+    for out_ref, value in zip(out_refs, values):
+        out_ref[:] = value
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
+def _deposit_multi_acc(pos_ref, rows_ref, *, nx, ny, nt, chunk, orders):
+    """Shared deposit computation (also used by the x-tiled kernels in
+    :mod:`cheetah_tpu.ops.pallas_cic_tiled`, with ``nx`` = window rows):
+    returns this chunk's ``(C*nt, nx*ny)`` grid contribution — the caller
+    accumulates it into the revisited output block."""
     fx, fy, ft = _axis_factors(pos_ref, nx, ny, nt, chunk, orders)
     num_components = rows_ref.shape[0] // len(orders)
 
@@ -180,7 +187,23 @@ def _deposit_multi_kernel(pos_ref, rows_ref, out_ref, *, nx, ny, nt, chunk, orde
             preferred_element_type=jnp.float32,
         )
         acc = part if acc is None else acc + part
-    out_ref[:] += acc
+    return acc
+
+
+def _deposit_multi_kernel(pos_ref, rows_ref, out_ref, *, nx, ny, nt, chunk, orders):
+    """Deposit the SUM over derivative orders: per-order row blocks
+    ``rows_ref (O*C, chunk)`` -> accumulated ``out (C*nt, nx*ny)``. Orders
+    sharing an (x, y) lead are summed in the ``(C*nt, chunk)`` operand before
+    the shared matmul — the exact transpose of :func:`_gather_multi_kernel`'s
+    sharing."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += _deposit_multi_acc(
+        pos_ref, rows_ref, nx=nx, ny=ny, nt=nt, chunk=chunk, orders=orders
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("orders", "interpret"))
@@ -194,6 +217,11 @@ def gather_multi_3d_pallas(
     positions ``normalized (B, N, 3)`` -> one ``(B, C, N)`` float32 array per
     derivative order (0 = hat weight, 1 = its a.e. derivative, per axis)."""
     batch, num_components, nx, ny, nt = grids.shape
+    if not _fits_untiled((nx, ny, nt)):
+        # Grids past the whole-grid-in-VMEM bound: sort-by-x-tile kernels.
+        from cheetah_tpu.ops.pallas_cic_tiled import gather_multi_tiled_pallas
+
+        return gather_multi_tiled_pallas(grids, normalized, orders, interpret)
     num_lead = nx * ny
     chunk = _chunk_for(num_lead * _num_leads(orders))
 
@@ -269,6 +297,13 @@ def deposit_multi_3d_pallas(
     grid ``(B, C, nx, ny, nt)`` (float32). Linear in ``rows``; its transpose
     is exactly :func:`gather_multi_3d_pallas` at the same orders."""
     nx, ny, nt = histogram_shape
+    if not _fits_untiled((nx, ny, nt)):
+        # Grids past the whole-grid-in-VMEM bound: sort-by-x-tile kernels.
+        from cheetah_tpu.ops.pallas_cic_tiled import deposit_multi_tiled_pallas
+
+        return deposit_multi_tiled_pallas(
+            normalized, rows, histogram_shape, orders, interpret
+        )
     num_lead = nx * ny
     chunk = _chunk_for(num_lead * _num_leads(orders))
 
@@ -433,11 +468,9 @@ def deposit_rows_3d_pallas(
     )[:, 0]
 
 
-def pallas_deposit_available(histogram_shape) -> bool:
-    """The kernel handles 3D grids whose working set fits VMEM.
-
-    Bounds (f32, worst case = the first-order gradient set ``_GRADS`` with
-    3 distinct (x, y) leads and up to 4 components):
+def _fits_untiled(histogram_shape) -> bool:
+    """Whole-grid-in-VMEM bounds (f32, worst case = the first-order gradient
+    set ``_GRADS`` with 3 distinct (x, y) leads and up to 4 components):
 
     - ``nx * ny <= 4096``: the lead tiles are ``(nx*ny, chunk)`` with
       ``chunk`` floored at 128, so 3 leads cost ``3 * nx*ny * 128 * 4``
@@ -445,17 +478,34 @@ def pallas_deposit_available(histogram_shape) -> bool:
     - ``nx * ny * nt <= 262144``: the revisited accumulator / grid operand
       is ``(C*nt, nx*ny)`` — 4 MB at 262144 cells with C = 4.
 
-    Together ~12 MB of the ~16 MB VMEM at the 64^3 corner (the practical
-    space-charge ceiling; the reference's examples use 32^3). Beyond this,
-    ``SpaceChargeKick`` falls back to the 8-corner gather / scatter deposit.
+    Together ~12 MB of the ~16 MB VMEM at the 64^3 corner.
     """
     return (
-        ENABLED
-        and len(histogram_shape) == 3
+        len(histogram_shape) == 3
         and histogram_shape[0] * histogram_shape[1] <= 4096
         and math.prod(histogram_shape) <= 262144
-        and jax.default_backend() == "tpu"
     )
+
+
+def pallas_deposit_available(histogram_shape) -> bool:
+    """The kernels handle any 3D grid whose x-tile *window* fits VMEM.
+
+    Grids within :func:`_fits_untiled` (up to the 64^3 corner; the
+    reference's examples use 32^3) keep the whole grid resident in VMEM.
+    Larger grids — 128^3, 256^3, anisotropic shapes — dispatch to the
+    sort-by-x-tile kernels (:mod:`cheetah_tpu.ops.pallas_cic_tiled`), whose
+    bounds only constrain the trailing axes: ``2 * ny <= 4096``,
+    ``2 * ny * nt <= 262144`` and ``nt <= 512`` (the minimal two-row window
+    must fit the same VMEM budget). Beyond THAT — e.g. ny*nt past 128k —
+    ``SpaceChargeKick`` falls back to the 8-corner gather / scatter deposit.
+    """
+    if not (ENABLED and jax.default_backend() == "tpu"):
+        return False
+    if _fits_untiled(histogram_shape):
+        return True
+    from cheetah_tpu.ops.pallas_cic_tiled import tiled_bounds_ok
+
+    return tiled_bounds_ok(histogram_shape)
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,29 @@ def tree_equal(a: Any, b: Any) -> bool:
 def replace(obj: T, **changes: Any) -> T:
     """Functional update of a pytree dataclass (like ``dataclasses.replace``)."""
     return dataclasses.replace(obj, **changes)
+
+
+def is_differentiation_tracer(x: Any) -> bool:
+    """True when ``x`` is (or wraps, through vmap batching) a forward- or
+    reverse-mode AD tracer — i.e. ``x`` is an input being differentiated, not
+    merely an argument traced by ``jit``/``vmap``.
+
+    Used by static fast-path decisions (e.g. the drift-kick-drift
+    zero-offset skip) as a safety net: a value under differentiation must
+    stay in the compute graph even when a static hint says it is zero,
+    otherwise its gradient would silently come out zero.
+    """
+    from jax._src.interpreters import ad as _ad_internal
+    from jax._src.interpreters import batching as _batching_internal
+
+    ad_types = (_ad_internal.JVPTracer,)
+    if hasattr(_ad_internal, "LinearizeTracer"):
+        ad_types = ad_types + (_ad_internal.LinearizeTracer,)
+    while isinstance(x, jax.core.Tracer):
+        if isinstance(x, ad_types):
+            return True
+        if isinstance(x, _batching_internal.BatchTracer):
+            x = x.val
+            continue
+        return False
+    return False
