@@ -53,8 +53,10 @@ class Dipole(Element):
     fringe_type: str = static_field("linear_edge")
     tracking_method: str = static_field("linear")
     metadata: dict = static_field(None)
+    _aligned_hint: bool = static_field(False)
 
     supported_tracking_methods = ["linear", "second_order", "drift_kick_drift"]
+    _offset_fields = ("tilt",)
 
     def __init__(
         self,
@@ -220,7 +222,14 @@ class Dipole(Element):
             incoming.tau, incoming.p, incoming.energy, mc2
         )
 
-        x, px, y, py = bmadx.offset_particle_set(zero, zero, self.tilt, x, px, y, py)
+        # Zero-tilt fast path (see Element._offsets_statically_zero): drops
+        # the entry/exit frame rotations XLA would otherwise duplicate into
+        # the fused chain. Identical results (rotation by 0 is the identity).
+        apply_offsets = not self._offsets_statically_zero()
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_set(
+                zero, zero, self.tilt, x, px, y, py
+            )
 
         if self.fringe_at in ("entrance", "both"):
             px, py = self._bmadx_fringe_linear("entrance", x, px, y, py)
@@ -228,7 +237,10 @@ class Dipole(Element):
         if self.fringe_at in ("exit", "both"):
             px, py = self._bmadx_fringe_linear("exit", x, px, y, py)
 
-        x, px, y, py = bmadx.offset_particle_unset(zero, zero, self.tilt, x, px, y, py)
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_unset(
+                zero, zero, self.tilt, x, px, y, py
+            )
 
         tau, delta, ref_energy = bmadx.bmad_to_cheetah_z_pz(z, pz, p0c, mc2)
         x, px, y, py, tau, delta = jnp.broadcast_arrays(x, px, y, py, tau, delta)

@@ -41,7 +41,13 @@ class Superimposed(Element):
         name: str | None = None,
         sanitize_name: bool | None = None,
         metadata: dict | None = None,
+        dtype: jnp.dtype | None = None,
     ) -> None:
+        # ``dtype`` is accepted for signature parity with the reference
+        # (``superimposed.py:39-52``), which also leaves the sub-elements'
+        # own dtypes untouched — it only forwards the value to the Element
+        # base, where nothing reads it for this class.
+        del dtype
         assert bool(
             jnp.all(superimposed_element.length == 0.0)
         ), "The superimposed element must have zero length."

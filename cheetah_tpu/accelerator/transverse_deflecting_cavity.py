@@ -40,8 +40,10 @@ class TransverseDeflectingCavity(Element):
     num_steps: int = static_field(1)
     tracking_method: str = static_field("drift_kick_drift")
     metadata: dict = static_field(None)
+    _aligned_hint: bool = static_field(False)
 
     supported_tracking_methods = ["drift_kick_drift"]
+    _offset_fields = ("misalignment", "tilt")
 
     def __init__(
         self,
@@ -101,9 +103,14 @@ class TransverseDeflectingCavity(Element):
         x_offset = self.misalignment[..., 0]
         y_offset = self.misalignment[..., 1]
 
-        x, px, y, py = bmadx.offset_particle_set(
-            x_offset, y_offset, self.tilt, x, px, y, py
-        )
+        # Zero-offset fast path (see Element._offsets_statically_zero):
+        # drops the identity entry/exit frame transforms and their fused
+        # duplication. Identical results (x - 0 == x exactly).
+        apply_offsets = not self._offsets_statically_zero()
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_set(
+                x_offset, y_offset, self.tilt, x, px, y, py
+            )
         x, y, z = bmadx.track_a_drift(
             self.length / 2, x, px, y, py, z, pz, p0c, mc2
         )
@@ -140,9 +147,10 @@ class TransverseDeflectingCavity(Element):
             self.length / 2, x, px, y, py, z, pz, p0c, mc2
         )
 
-        x, px, y, py = bmadx.offset_particle_unset(
-            x_offset, y_offset, self.tilt, x, px, y, py
-        )
+        if apply_offsets:
+            x, px, y, py = bmadx.offset_particle_unset(
+                x_offset, y_offset, self.tilt, x, px, y, py
+            )
 
         tau, delta, ref_energy = bmadx.bmad_to_cheetah_z_pz(z, pz, p0c, mc2)
         x, px, y, py, tau, delta = jnp.broadcast_arrays(x, px, y, py, tau, delta)

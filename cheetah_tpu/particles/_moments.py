@@ -63,7 +63,18 @@ _COV_POSITIONS = {
 
 
 def resolve_parameters(dtype, **overrides) -> dict[str, Array]:
-    """Fill in defaults and convert all beam parameters to arrays."""
+    """Fill in defaults and convert all beam parameters to arrays.
+
+    Unknown names are rejected loudly — the callers take the moment set as
+    ``**kwargs``, so without this check a typo'd ``sigma_xq`` would silently
+    produce a default beam (the reference's explicit 27-parameter signatures
+    raise ``TypeError`` in the same situation)."""
+    unknown = sorted(set(overrides) - set(PARAMETER_DEFAULTS))
+    if unknown:
+        raise TypeError(
+            f"Unknown beam moment parameter(s) {unknown}; valid names are "
+            f"{sorted(PARAMETER_DEFAULTS)}"
+        )
     resolved = {}
     for name, default in PARAMETER_DEFAULTS.items():
         value = overrides.get(name)

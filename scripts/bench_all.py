@@ -265,6 +265,48 @@ def main() -> None:
             except Exception as exc:  # informational only — never abort a run
                 details[f"{dkd_name}_vpu_pct_error"] = str(exc)[:200]
 
+    if wants("env_dkd_dipole"):
+        # Dipole drift_kick_drift on the same env workload: the tuned quad's
+        # slot holds a sector bend with per-instance angles (exact Bmad-X
+        # body, genuinely per-particle transcendentals through
+        # phi1 = arcsin(px / px_norm) — no rank-1 factorisation applies; see
+        # PERF_NOTES.md "dkd beyond the quadrupole").
+        seg_d = ares_ea_subcell(dtype=f32)
+        elements = list(seg_d.elements)
+        elements[2] = ct.Dipole(
+            jnp.asarray(0.122, f32),
+            angle=jnp.linspace(-0.05, 0.05, num_instances, dtype=f32),
+            tracking_method="drift_kick_drift",
+            name="BENCHBEND",
+        )
+        seg_d = ct.Segment(elements, name="ARES_EA_dipole_dkd")
+        dt = timeit_slope(env_step, seg_d, beam_10k, iters=10)
+        record(
+            f"env_dkd_dipole_{num_instances}x{num_particles // 1000}k",
+            dt,
+            roofline_bytes=num_instances * num_particles * 7 * 4,
+        )
+
+    if wants("env_dkd_tdc"):
+        # TransverseDeflectingCavity (always drift_kick_drift) on the same
+        # env workload, per-instance voltages.
+        seg_t = ares_ea_subcell(dtype=f32)
+        elements = list(seg_t.elements)
+        elements[2] = ct.TransverseDeflectingCavity(
+            jnp.asarray(0.122, f32),
+            voltage=jnp.linspace(0.0, 2e7, num_instances, dtype=f32),
+            phase=jnp.asarray(0.3, f32),
+            frequency=jnp.asarray(2.998e9, f32),
+            name="BENCHTDC",
+        )
+        seg_t = ct.Segment(elements, name="ARES_EA_tdc_dkd")
+        dt = timeit_slope(env_step, seg_t, beam_10k, iters=10)
+        record(
+            f"env_dkd_tdc_{num_instances}x{num_particles // 1000}k",
+            dt,
+            roofline_bytes=num_instances * num_particles * 7 * 4,
+        )
+
     if wants("parameter_beam"):
         parameter_beam = ct.ParameterBeam.from_twiss(
             beta_x=jnp.asarray(5.0, f32),
@@ -445,6 +487,24 @@ def main() -> None:
                 kick_64,
                 make_beam(1_000_000),
                 iters=5,
+            ),
+        )
+
+    # High-fidelity 128^3 grid (FEL-injector class): past the untiled
+    # kernel's whole-grid-in-VMEM bound, runs on the sort-based x-tiled
+    # Pallas kernels (pallas_cic_tiled.py) — the scatter fallback this
+    # replaces is 22-36x slower per deposit/gather.
+    if wants("space_charge_kick_1M_128c") and on_tpu:
+        kick_128 = ct.SpaceChargeKick(
+            jnp.asarray(0.5, f32), grid_shape=(128, 128, 128)
+        )
+        record(
+            "space_charge_kick_1M_128c_pallas",
+            timeit_slope(
+                jax.jit(lambda k, b: k.track(b).particles),
+                kick_128,
+                make_beam(1_000_000),
+                iters=3,
             ),
         )
 
