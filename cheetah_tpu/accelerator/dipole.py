@@ -265,44 +265,85 @@ class Dipole(Element):
         p0c: Array,
         mc2: Array,
     ) -> tuple[Array, ...]:
-        """Exact sector-bend body map (ref ``dipole.py:245-336``)."""
+        r"""Exact sector-bend body map (ref ``dipole.py:245-336``).
+
+        The reference evaluates, per particle, ``arcsin`` (entry angle
+        ``phi1``), ``arctan2`` (chord angle), and four ``sin``/``cos`` calls
+        at per-particle arguments. Unlike the quadrupole's focusing argument
+        (rank-1 in instance x particle, see
+        ``calculate_quadrupole_coefficients_chromatic``), ``phi1 =
+        arcsin(px/px_norm)`` depends jointly on ``(px, py, pz)`` — no
+        factorisation applies. Instead this implementation removes the
+        *angle representation* wherever only sines/cosines are consumed
+        (angle-addition identities with ``sin(phi1) = px/px_norm`` and
+        ``cos(phi1) = sqrt(1 - sin^2)``, exact for ``phi1`` in
+        ``[-pi/2, pi/2]`` by construction), leaving ONE inverse-trig call
+        per particle — the arc angle ``theta_p = 2 arcsin(sin(theta_p/2))``
+        needed for the arc length ``Lp`` (and for small ``theta_p`` the
+        arcsin form is the numerically stabler of the two: the reference's
+        ``angle + phi1 - pi/2 - atan2`` cancels O(1) angles). Per-particle
+        transcendental budget: 1 arcsin + sqrts, down from
+        arcsin + atan2 + 4 sin/cos + sqrts (measured on the 4096x10k env
+        step, PERF_NOTES.md "dkd beyond the quadrupole").
+        """
         length = self.length[..., None]
         angle = self.angle[..., None]
 
         px_norm = jnp.sqrt(jnp.square(1 + pz) - jnp.square(py))
-        phi1 = jnp.arcsin(px / px_norm)
+        # sin/cos of the entry angle phi1 = arcsin(px / px_norm), without the
+        # angle itself: cos(phi1) >= 0 always (phi1 in [-pi/2, pi/2]).
+        sin_phi1 = px / px_norm
+        cos_phi1 = jnp.sqrt((1 - sin_phi1) * (1 + sin_phi1))
+        sin_angle = jnp.sin(angle)  # instance-shaped
+        cos_angle = jnp.cos(angle)
+        # A = angle + phi1 by angle addition.
+        sin_A = sin_angle * cos_phi1 + cos_angle * sin_phi1
+        cos_A = cos_angle * cos_phi1 - sin_angle * sin_phi1
+
         g = self.angle / self.length
         gp = g[..., None] / px_norm
 
         sinc_angle = bmadx.sinc(angle)
         alpha = (
-            2 * (1 + g[..., None] * x) * jnp.sin(angle + phi1) * length * sinc_angle
+            2 * (1 + g[..., None] * x) * sin_A * length * sinc_angle
             - gp * jnp.square((1 + g[..., None] * x) * length * sinc_angle)
         )
 
-        x2_t1 = x * jnp.cos(angle) + jnp.square(length) * g[..., None] * bmadx.cosc(
+        x2_t1 = x * cos_angle + jnp.square(length) * g[..., None] * bmadx.cosc(
             angle
         )
-        x2_t2 = jnp.sqrt(jnp.square(jnp.cos(angle + phi1)) + gp * alpha)
-        x2_t3 = jnp.cos(angle + phi1)
+        x2_t2 = jnp.sqrt(jnp.square(cos_A) + gp * alpha)
+        x2_t3 = cos_A
 
         c1 = x2_t1 + alpha / (x2_t2 + x2_t3)
         c2 = x2_t1 + alpha * sqrta2minusbdiva(x2_t3, gp * alpha)
-        temp = jnp.abs(angle + phi1)
-        # Branch allowed because both sides contain the same inputs.
-        x2 = jnp.where(temp < jnp.pi / 2, c1, c2)
+        # |angle + phi1| < pi/2  <=>  cos_A > 0 on the physical branch
+        # (|A| < pi for practical bends). Branch allowed because both sides
+        # contain the same inputs.
+        x2 = jnp.where(cos_A > 0, c1, c2)
 
         Lcu = (
             x2
             - jnp.square(length) * g[..., None] * bmadx.cosc(angle)
-            - x * jnp.cos(angle)
+            - x * cos_angle
         )
-        Lcv = -length * bmadx.sinc(angle) - x * jnp.sin(angle)
+        Lcv = -length * sinc_angle - x * sin_angle
 
-        theta_p = 2 * (angle + phi1 - jnp.pi / 2 - jnp.arctan2(Lcv, Lcu))
-
+        # theta_p = 2 (A - pi/2 - atan2(Lcv, Lcu)); with u = atan2(Lcv, Lcu),
+        # sin(theta_p/2) = sin(A - pi/2 - u) = -cos(A - u)
+        #               = -(cos_A Lcu + sin_A Lcv) / Lc,
+        # and |theta_p| < pi for any practical bend, so the angle itself is
+        # recovered by ONE arcsin (stable: no large-angle cancellation).
         Lc = jnp.sqrt(jnp.square(Lcu) + jnp.square(Lcv))
-        Lp = Lc / bmadx.sinc(theta_p / 2)
+        sin_half = -(cos_A * Lcu + sin_A * Lcv) / Lc
+        half_p = jnp.arcsin(sin_half)
+        # Lp = Lc / sinc(theta_p / 2) = Lc * half_p / sin_half; the where
+        # guards the removable zero (ratio = 1 + theta^2/24 + ..., below one
+        # ulp for |sin_half| < 1e-9 even at f64).
+        tiny = jnp.abs(sin_half) < 1e-9
+        Lp = jnp.where(
+            tiny, Lc, Lc * half_p / jnp.where(tiny, 1.0, sin_half)
+        )
 
         P = p0c[..., None] * (1 + pz)  # In eV
         E = jnp.sqrt(jnp.square(P) + jnp.square(mc2))
@@ -311,7 +352,12 @@ class Dipole(Element):
         beta0 = p0c / E0
 
         x_f = x2
-        px_f = px_norm * jnp.sin(angle + phi1 - theta_p)
+        # px_f = px_norm sin(A - theta_p), by angle addition from the free
+        # sin/cos(theta_p) = (2 sin cos, 1 - 2 sin^2) of the half angle.
+        cos_half = jnp.sqrt((1 - sin_half) * (1 + sin_half))
+        sin_theta = 2 * sin_half * cos_half
+        cos_theta = 1 - 2 * jnp.square(sin_half)
+        px_f = px_norm * (sin_A * cos_theta - cos_A * sin_theta)
         y_f = y + py * Lp / px_norm
         z_f = z + (beta * length / beta0[..., None]) - ((1 + pz) * Lp / px_norm)
 

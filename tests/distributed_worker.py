@@ -10,7 +10,17 @@ single-device ground truth:
    devices — the CIC grid all-reduce crosses the process boundary.
 3. A jitted gradient step on host-sharded quadrupole settings.
 
-Usage: ``python distributed_worker.py <process_id> <num_processes> <port>``
+5. The explicit-collective ``SpaceChargeKick(particle_axis=...)`` mode under
+   ``shard_map`` (the multi-chip path that composes with the Pallas
+   kernels), with the particle axis laid over BOTH mesh axes — its grid
+   ``psum`` and the grid-sizing moment ``psum`` cross real process
+   boundaries — differentiated, against single-device ground truth.
+
+The 4-process x 2-device leg (``test_distributed.py``) runs the same checks
+on the exact topology of a 4-host pod deployment.
+
+Usage: ``python distributed_worker.py <process_id> <num_processes> <port>
+[local_devices]``
 """
 
 import os
@@ -19,9 +29,12 @@ import sys
 PROCESS_ID = int(sys.argv[1])
 NUM_PROCESSES = int(sys.argv[2])
 PORT = sys.argv[3]
+LOCAL_DEVICES = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+)
 
 import jax  # noqa: E402
 
@@ -63,16 +76,16 @@ def main() -> None:
     ct.utils.rng.seed(42)
     initialize(f"localhost:{PORT}", NUM_PROCESSES, PROCESS_ID)
     assert jax.process_count() == NUM_PROCESSES
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * NUM_PROCESSES
+    assert jax.local_device_count() == LOCAL_DEVICES
+    assert jax.device_count() == LOCAL_DEVICES * NUM_PROCESSES
 
-    mesh = make_hybrid_mesh({"devices": 4}, {"hosts": NUM_PROCESSES})
-    assert mesh.shape == {"hosts": NUM_PROCESSES, "devices": 4}
+    mesh = make_hybrid_mesh({"devices": LOCAL_DEVICES}, {"hosts": NUM_PROCESSES})
+    assert mesh.shape == {"hosts": NUM_PROCESSES, "devices": LOCAL_DEVICES}
     # The ICI axis must stay within one process.
     for host_row in mesh.devices:
         assert len({d.process_index for d in host_row}) == 1
 
-    num_devices = 4 * NUM_PROCESSES
+    num_devices = LOCAL_DEVICES * NUM_PROCESSES
     replicated = NamedSharding(mesh, P())
     key = jax.random.PRNGKey(7)
 
@@ -238,6 +251,64 @@ def main() -> None:
     )
     assert len(set(shared_fps.tolist())) == 1, (
         f"shared-key beams differ across hosts: {shared_fps}"
+    )
+
+    # ------------------------------------------------------------------
+    # 5. Explicit-collective SpaceChargeKick(particle_axis=...) under
+    #    shard_map, particle axis over BOTH mesh axes, differentiated: the
+    #    grid psum and the grid-sizing moment psums cross the process
+    #    boundary (this is the multi-chip mode that composes with the
+    #    Pallas kernels, which GSPMD cannot partition).
+    # ------------------------------------------------------------------
+    from functools import partial
+
+    from jax import shard_map
+
+    particle_axes = ("hosts", "devices")
+
+    def sc_loss(effect_length, particles, charges, survival):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(None, P(particle_axes, None), P(particle_axes), P(particle_axes)),
+            out_specs=P(particle_axes, None),
+        )
+        def step(el, p, q, s):
+            local = ct.ParticleBeam(
+                particles=p,
+                energy=sc_beam.energy,
+                particle_charges=q,
+                survival_probabilities=s,
+                species=sc_beam.species,
+            )
+            kick = ct.SpaceChargeKick(
+                el, grid_shape=(8, 8, 8), particle_axis=particle_axes
+            )
+            return kick.track(local).particles
+
+        out = step(effect_length, particles, charges, survival)
+        return jnp.mean(jnp.square(out[..., 1]) + jnp.square(out[..., 3]))
+
+    def sc_loss_local(effect_length):
+        kick = ct.SpaceChargeKick(effect_length, grid_shape=(8, 8, 8))
+        out = kick.track(sc_beam).particles
+        return jnp.mean(jnp.square(out[..., 1]) + jnp.square(out[..., 3]))
+
+    el0 = jnp.asarray(0.5, F64)
+    expected_loss5, expected_grad5 = jax.jit(jax.value_and_grad(sc_loss_local))(el0)
+    loss5, grad5 = jax.jit(
+        jax.value_and_grad(sc_loss), out_shardings=replicated
+    )(
+        el0,
+        sharded_beam.particles,
+        sharded_beam.particle_charges,
+        sharded_beam.survival_probabilities,
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(loss5)), float(expected_loss5), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(grad5)), float(expected_grad5), rtol=1e-8
     )
 
     print(f"[{PROCESS_ID}] DISTRIBUTED-OK", flush=True)

@@ -39,15 +39,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_cluster_runs_sharded_env_step():
+def _run_cluster(num_processes: int, local_devices: int) -> None:
     worker = Path(__file__).parent / "distributed_worker.py"
     port = _free_port()
 
     env = os.environ.copy()
     # The worker sets its own JAX_PLATFORMS / XLA_FLAGS before importing jax;
     # scrub any conflicting inherited values (e.g. from this suite's
-    # conftest) so each process really gets 4 fresh CPU devices.
+    # conftest) so each process really gets fresh CPU devices.
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
     repo_root = Path(__file__).parent.parent
@@ -57,14 +56,21 @@ def test_two_process_cluster_runs_sharded_env_step():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(rank), str(NUM_PROCESSES), str(port)],
+            [
+                sys.executable,
+                str(worker),
+                str(rank),
+                str(num_processes),
+                str(port),
+                str(local_devices),
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
             cwd=str(Path(__file__).parent.parent),
         )
-        for rank in range(NUM_PROCESSES)
+        for rank in range(num_processes)
     ]
     outputs = []
     try:
@@ -82,6 +88,22 @@ def test_two_process_cluster_runs_sharded_env_step():
     for rank, (proc, out) in enumerate(zip(procs, outputs)):
         assert proc.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"[{rank}] DISTRIBUTED-OK" in out, f"rank {rank} output:\n{out}"
+
+
+@pytest.mark.slow
+def test_two_process_cluster_runs_sharded_env_step():
+    _run_cluster(NUM_PROCESSES, 4)
+
+
+@pytest.mark.slow
+def test_four_process_cluster_explicit_collective_space_charge():
+    """4 processes x 2 devices: the hybrid DCN x ICI mesh exercised across
+    REAL process boundaries, including the explicit-collective
+    ``SpaceChargeKick(particle_axis=...)`` shard_map mode with gradients
+    (worker check 5) — the exact pod topology of a 4-host deployment."""
+    if (os.cpu_count() or 0) < 8:
+        pytest.skip("needs >= 8 CPU slots for 4 processes x 2 devices")
+    _run_cluster(4, 2)
 
 
 def test_bare_initialize_is_noop_single_process(monkeypatch):
