@@ -29,7 +29,9 @@ ROWS = [
     ("env_moments_4096x10k", "RL env step via track_moments (exact moments fast path)", "same sigma readout, no particle materialisation"),
     ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "bracket fusion: adjacent linear runs folded into the T-tensor, one (N, 49) quadratic apply"),
     ("env_second_order_moments_4096x10k", "RL env step, second_order via track_moments (Gaussian closure)", "moments through the fused bracket, no particle array"),
-    ("env_dkd_4096x10k", "RL env step, tuned quad tracked drift_kick_drift", "chromatic factorisation: zero per-(instance x particle) transcendentals (was 10.8 ms in the previous full run)"),
+    ("env_dkd_4096x10k", "RL env step, tuned quad tracked drift_kick_drift", "chromatic factorisation + static zero-offset skip (was 6.15 ms with the offset frame transforms in-graph)"),
+    ("env_dkd_dipole_4096x10k", "RL env step, tuned Dipole tracked drift_kick_drift", "exact Bmad-X sector bend; angle-free trig identities cut per-particle inverse-trig to ONE arcsin (was 21.8 ms on the direct port)"),
+    ("env_dkd_tdc_4096x10k", "RL env step, tuned TransverseDeflectingCavity (drift_kick_drift)", "one sin/cos pair per particle is intrinsic (RF phase seen per particle)"),
     ("parameter_beam_4096_env_step", "ParameterBeam env step, 4096 instances", "moments-only transport"),
     ("track_100k_screen_histogram", "100k particles + screen, histogram 2448x2040", "bucketize + segment_sum"),
     ("track_100k_screen_cloud_in_cell", "100k particles + screen, cloud-in-cell 2448x2040", "differentiable"),
@@ -46,6 +48,7 @@ ROWS = [
     ("space_charge_grad_1M_pallas", "Space-charge segment, 1M, value_and_grad — Pallas", ""),
     ("space_charge_grad_1M_xla", "Space-charge segment, 1M, value_and_grad — XLA", ""),
     ("space_charge_kick_1M_64c_pallas", "Space-charge kick, 64^3 grid, 1M — Pallas", "fine grid past the XLA two-hot cell cap; the scatter fallback this replaced measured 219.7 ms (22x)"),
+    ("space_charge_kick_1M_128c_pallas", "Space-charge kick, 128^3 grid, 1M — tiled Pallas", "past the whole-grid-in-VMEM bound: sort-by-x-tile kernels (pallas_cic_tiled.py); the scatter class this replaces is 22-36x slower per deposit/gather"),
     ("cic_deposit_100k_32c_pallas", "CIC deposit microbench, 100k -> 32^3 — Pallas kernel", ""),
     ("cic_deposit_100k_32c_xla", "CIC deposit microbench, 100k -> 32^3 — XLA two-hot", ""),
     ("cic_deposit_1M_32c_pallas", "CIC deposit microbench, 1M -> 32^3 — Pallas kernel", ""),

@@ -359,3 +359,89 @@ def test_dkd_closed_form_equals_stepped_composition(key):
                 atol=1e-14,
                 err_msg=f"k1={k1_value}, num_steps={num_steps}",
             )
+
+
+class TestDkdZeroOffsetSkip:
+    """The static zero-offset fast path (Element._offsets_statically_zero):
+    the dkd entry/exit frame transforms are dropped from the compiled graph
+    when misalignment/tilt are concrete zeros — with hint bookkeeping,
+    bit-identical tracking, and exact offset gradients AT zero."""
+
+    def _dkd_quad(self, **kwargs):
+        return ct.Quadrupole(
+            length=jnp.asarray(0.31, F64),
+            k1=jnp.asarray(14.0, F64),
+            tracking_method="drift_kick_drift",
+            **kwargs,
+        )
+
+    def test_hint_bookkeeping(self):
+        quad = self._dkd_quad()
+        assert quad._aligned_hint and quad._offsets_statically_zero()
+
+        offset = self._dkd_quad(misalignment=jnp.asarray([1e-4, 0.0], F64))
+        assert not offset._aligned_hint and not offset._offsets_statically_zero()
+
+        offset.misalignment = jnp.zeros(2, F64)
+        assert offset._aligned_hint  # __setattr__ refreshes the hint
+        offset.tilt = jnp.asarray(0.1, F64)
+        assert not offset._aligned_hint
+
+    def test_skip_fires_under_jit_argument_and_is_bit_identical(self):
+        import jax
+
+        beam = _particle_beam(num_particles=2000)
+        aligned = self._dkd_quad()
+        # Subnormal tilt defeats the hint without changing any f64 result
+        # that survives the (tilt == 0 vs ~1e-300) rotation: cos = 1.0,
+        # sin = tilt exactly, and tilt * coords underflows to the same
+        # products as zero at these magnitudes.
+        unskipped = self._dkd_quad(tilt=jnp.asarray(1e-300, F64))
+        assert not unskipped._aligned_hint
+
+        track = jax.jit(lambda q, b: q.track(b).particles)
+        np.testing.assert_array_equal(
+            np.asarray(track(aligned, beam)), np.asarray(track(unskipped, beam))
+        )
+
+    def test_offset_gradients_at_zero_are_not_killed(self):
+        """Differentiating w.r.t. misalignment/tilt AT zero must see the
+        frame transforms (the AD-tracer safety net), not the skip."""
+        import jax
+
+        beam = _particle_beam(num_particles=2000)
+
+        def loss(quad):
+            return jnp.sum(jnp.square(quad.track(beam).x))
+
+        grads = jax.grad(loss)(self._dkd_quad())
+        assert bool(jnp.any(grads.misalignment != 0))
+        assert bool(jnp.any(grads.tilt != 0))
+
+        # And the gradient values match an explicit central difference.
+        def loss_of_dx(dx):
+            quad = self._dkd_quad()
+            quad.misalignment = jnp.stack([dx, jnp.asarray(0.0, F64)])
+            return loss(quad)
+
+        eps = 1e-7
+        fd = (loss_of_dx(jnp.asarray(eps, F64)) - loss_of_dx(jnp.asarray(-eps, F64))) / (
+            2 * eps
+        )
+        grad_dx = jax.grad(loss_of_dx)(jnp.asarray(0.0, F64))
+        np.testing.assert_allclose(float(grad_dx), float(fd), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(grads.misalignment[0]), float(fd), rtol=1e-5
+        )
+
+    def test_offset_beams_still_track_correctly_under_jit(self):
+        import jax
+
+        beam = _particle_beam(num_particles=2000)
+        quad = self._dkd_quad(
+            misalignment=jnp.asarray([2e-4, -1e-4], F64),
+            tilt=jnp.asarray(0.2, F64),
+        )
+        eager = quad.track(beam).particles
+        jitted = jax.jit(lambda q, b: q.track(b).particles)(quad, beam)
+        np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-15)
