@@ -10,7 +10,7 @@ Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}`` where
 BASELINE.json (the reference publishes no absolute numbers).
 
 The full workload suite (screens, space charge Pallas vs XLA, gradients,
-bf16, the ARES stage-3 machine) lives in ``scripts/bench_all.py``, which
+the ARES stage-3 machine) lives in ``scripts/bench_all.py``, which
 owns the committed ``bench_details.json`` artifact rendered into
 PERF_NOTES.md. This script deliberately writes no files.
 """

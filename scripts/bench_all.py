@@ -8,7 +8,7 @@ this script, written to ``bench_details.json`` (plus an optional
 Workloads (TPU backend; ``--backend cpu`` runs a reduced CPU-comparable
 subset for CI runners):
 
-- RL env step, 4096 instances x 10k particles x 13 elements, f32 and bf16,
+- RL env step, 4096 instances x 10k particles x 13 elements (f32),
   with achieved-HBM-roofline fractions.
 - ParameterBeam env step (same lattice, moments-only transport).
 - 100k particles + screen readout, per method (histogram / cloud-in-cell at
@@ -144,23 +144,13 @@ def main() -> None:
         record(env_name, dt, roofline_bytes=num_instances * num_particles * 7 * 4)
         details["transports_per_s"] = num_instances * num_particles * num_elements / dt
 
-        def to_bf16(tree):
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == f32
-                else x,
-                tree,
-            )
-
-        dt_bf16 = timeit_slope(env_step, to_bf16(segment), to_bf16(beam_10k))
-        record(
-            env_name + "_bf16",
-            dt_bf16,
-            roofline_bytes=num_instances * num_particles * 7 * 2,
-        )
-        details["transports_per_s_bf16"] = (
-            num_instances * num_particles * num_elements / dt_bf16
-        )
+        # bf16 is no longer benchmarked: with the readout fused into the
+        # transport epilogue the f32 step stopped being HBM-bound (bf16
+        # measured 0.586 vs 0.579 ms), and on the non-HBM-bound dkd step
+        # bf16 is 4.4x SLOWER (21.8 vs 4.9 ms — constant f32<->bf16
+        # conversion around the transcendental/FMA chains). bf16 tracking
+        # stays correctness-tested (tests/test_dtypes_and_structure.py,
+        # space-charge f32-upcast path); PERF_NOTES records the decision.
 
     if wants("env_moments"):
         # Exact moments fast path (Segment.track_moments): same sigma_x

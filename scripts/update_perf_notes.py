@@ -25,7 +25,6 @@ END = "<!-- BENCH_TABLE_END -->"
 ROWS = [
     # (key, label, notes)
     ("env_step_4096x10k", "RL env step: 4096 instances x 10k particles x 13 elements (f32)", "headline; reduce-first readout fuses into the transport epilogue"),
-    ("env_step_4096x10k_bf16", "RL env step, bfloat16", "readout-fused; no longer HBM-bound, so bf16 no longer buys 2x"),
     ("env_moments_4096x10k", "RL env step via track_moments (exact moments fast path)", "same sigma readout, no particle materialisation"),
     ("env_second_order_4096x10k", "RL env step, tuned quad tracked second_order", "bracket fusion: adjacent linear runs folded into the T-tensor, one (N, 49) quadratic apply"),
     ("env_second_order_moments_4096x10k", "RL env step, second_order via track_moments (Gaussian closure)", "moments through the fused bracket, no particle array"),
@@ -61,7 +60,8 @@ def render(details: dict) -> str:
     lines = [
         START,
         "",
-        f"Backend: `{details.get('backend', '?')}` — one v5e chip through the "
+        f"Backend: `{details.get('backend', '?')}` — one "
+        f"{details.get('device_kind', 'TPU')} chip through the "
         "axon tunnel; fori-loop slope timing with adaptive spans "
         "(`scripts/bench_all.py`). Regenerate this table ONLY via "
         "`python scripts/update_perf_notes.py`.",
@@ -106,14 +106,11 @@ def render(details: dict) -> str:
         )
 
     tp = details.get("transports_per_s")
-    tp16 = details.get("transports_per_s_bf16")
     if tp:
         lines.append("")
         lines.append(
             f"Headline throughput: **{tp:.3g} macroparticle-element "
-            f"transports/s/chip** ({tp / 1e9:.0f}x the 1e9 target"
-            + (f"; bf16 {tp16:.3g}" if tp16 else "")
-            + ")."
+            f"transports/s/chip** ({tp / 1e9:.0f}x the 1e9 target)."
         )
     # Derived speedups keep the prose honest.
     def ratio(a, b):
@@ -134,8 +131,7 @@ def render(details: dict) -> str:
         + ratio("cic_deposit_100k_32c_xla", "cic_deposit_100k_32c_pallas")
         + ", 1M "
         + ratio("cic_deposit_1M_32c_xla", "cic_deposit_1M_32c_pallas")
-        + "; bf16 env step "
-        + ratio("env_step_4096x10k", "env_step_4096x10k_bf16")
+
         + "; track_moments vs particle env step "
         + ratio("env_step_4096x10k", "env_moments_4096x10k")
         + ".",

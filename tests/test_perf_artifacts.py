@@ -19,7 +19,7 @@ def test_bench_details_is_committed_and_tpu():
     # The workloads the docs quote must all be present.
     for key in [
         "env_step_4096x10k_ms",
-        "env_step_4096x10k_bf16_ms",
+        "env_dkd_4096x10k_ms",
         "parameter_beam_4096_env_step_ms",
         "track_100k_screen_histogram_ms",
         "track_100k_screen_cloud_in_cell_ms",
