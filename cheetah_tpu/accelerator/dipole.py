@@ -53,7 +53,7 @@ class Dipole(Element):
     fringe_type: str = static_field("linear_edge")
     tracking_method: str = static_field("linear")
     metadata: dict = static_field(None)
-    _aligned_hint: bool = static_field(False)
+    _aligned_hint: bool = static_field(False, init=False)
 
     supported_tracking_methods = ["linear", "second_order", "drift_kick_drift"]
     _offset_fields = ("tilt",)

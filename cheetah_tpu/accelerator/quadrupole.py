@@ -42,7 +42,7 @@ class Quadrupole(Element):
     num_steps: int = static_field(1)
     tracking_method: str = static_field("linear")
     metadata: dict = static_field(None)
-    _aligned_hint: bool = static_field(False)
+    _aligned_hint: bool = static_field(False, init=False)
 
     supported_tracking_methods = ["linear", "second_order", "drift_kick_drift"]
     _offset_fields = ("misalignment", "tilt")

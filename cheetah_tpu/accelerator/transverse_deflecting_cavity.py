@@ -40,7 +40,7 @@ class TransverseDeflectingCavity(Element):
     num_steps: int = static_field(1)
     tracking_method: str = static_field("drift_kick_drift")
     metadata: dict = static_field(None)
-    _aligned_hint: bool = static_field(False)
+    _aligned_hint: bool = static_field(False, init=False)
 
     supported_tracking_methods = ["drift_kick_drift"]
     _offset_fields = ("misalignment", "tilt")
