@@ -60,7 +60,7 @@ if _jax_export is not None and hasattr(
     register_export_serialization()
 
 # Guarded against pyproject.toml drift by tests/test_packaging.py.
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Aperture",
